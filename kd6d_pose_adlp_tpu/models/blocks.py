@@ -1,0 +1,66 @@
+"""Shared Flax building blocks.
+
+TPU-first equivalents of the reference's vendored pytorchcv blocks
+(`backbone/common.py:250-420`): Conv -> BatchNorm(eps 1e-5) -> activation.
+NHWC layout throughout (TPU-native); convolutions run in `compute_dtype`
+(bfloat16 on TPU for MXU throughput) with float32 parameters and float32
+BatchNorm statistics.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch kaiming_uniform_ (a=0) == variance_scaling(2.0, fan_in, uniform)
+kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+# torch kaiming_uniform_ (a=1) == variance_scaling(1.0, fan_in, uniform)
+kaiming_uniform_a1 = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+
+
+def leaky_relu(x, alpha: float = 0.1):
+    return nn.leaky_relu(x, negative_slope=alpha)
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d(bias=False) -> BatchNorm(eps=1e-5) -> activation
+    (reference backbone/common.py:250-330)."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    alpha: float = 0.1  # LeakyReLU slope; None-like sentinel via use_act
+    use_act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME" if self.kernel_size > 1 else "VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_uniform,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d default momentum 0.1
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_act:
+            x = leaky_relu(x, self.alpha)
+        return x.astype(self.dtype)
+
+
+def max_pool_2x2(x):
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def count_params(params) -> int:
+    import jax
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,59 @@
+"""DarkNet-53 backbone in Flax (NHWC, TPU-first).
+
+Capability match for the reference (`backbone/darknet53.py:20-161`): 3x3 init
+block (32ch) + 5 stages of [stride-2 3x3 conv, then residual DarkUnits
+(1x1 -> 3x3, skip)], layers [2,3,9,9,5], channels [64,128,256,512,1024],
+LeakyReLU(0.1). Forward returns the 5 stage outputs [/2,/4,/8,/16,/32].
+Parameter parity target (with ImageNet linear head): 41,609,928
+(`backbone/darknet53.py:242`).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ConvBNAct
+
+LAYERS = (2, 3, 9, 9, 5)
+CHANNELS = (64, 128, 256, 512, 1024)
+
+
+class DarkUnit(nn.Module):
+    features: int
+    alpha: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        x = ConvBNAct(self.features // 2, kernel_size=1, alpha=self.alpha,
+                      dtype=self.dtype)(x, train=train)
+        x = ConvBNAct(self.features, kernel_size=3, alpha=self.alpha,
+                      dtype=self.dtype)(x, train=train)
+        return x + identity
+
+
+class DarkNet53(nn.Module):
+    alpha: float = 0.1
+    include_head: bool = False
+    n_classes: int = 1000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(32, kernel_size=3, alpha=self.alpha, dtype=self.dtype)(x, train=train)
+        outs = []
+        for n_units, feats in zip(LAYERS, CHANNELS):
+            x = ConvBNAct(feats, kernel_size=3, strides=2, alpha=self.alpha,
+                          dtype=self.dtype)(x, train=train)
+            for _ in range(n_units - 1):
+                x = DarkUnit(feats, alpha=self.alpha, dtype=self.dtype)(x, train=train)
+            outs.append(x)
+        if self.include_head:
+            pooled = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(self.n_classes, dtype=self.dtype, param_dtype=jnp.float32)(pooled)
+        return outs
+
+
+def darknet53(**kw) -> DarkNet53:
+    return DarkNet53(**kw)

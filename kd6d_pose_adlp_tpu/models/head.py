@@ -1,0 +1,56 @@
+"""Dense pose head (reference models/model.py:370-451).
+
+Two 4-conv towers (3x3, GroupNorm(32), ReLU), shared across pyramid levels:
+- cls tower -> cls_logits conv: (n_class-1) channels, focal-prior bias init
+- pose tower -> pose_pred conv: (n_class-1)*16 channels, per-level learnable
+  scalar Scale on the regression output.
+
+Conv weights ~ N(0, 0.01), biases 0 (reference models/model.py:425-433).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PoseHead(nn.Module):
+    n_fg: int            # n_class - 1
+    n_conv: int = 4
+    prior: float = 0.01
+    n_levels: int = 5    # number of Scale params (reference hardcodes 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        width = feats[0].shape[-1]
+        conv = lambda c, name, binit=nn.initializers.zeros: nn.Conv(
+            c, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype,
+            param_dtype=jnp.float32, kernel_init=nn.initializers.normal(0.01),
+            bias_init=binit, name=name)
+
+        cls_tower = [(conv(width, f"cls_conv{i}"),
+                      nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                                   name=f"cls_gn{i}")) for i in range(self.n_conv)]
+        pose_tower = [(conv(width, f"pose_conv{i}"),
+                       nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                                    name=f"pose_gn{i}")) for i in range(self.n_conv)]
+        prior_bias = -math.log((1 - self.prior) / self.prior)
+        cls_logits = conv(self.n_fg, "cls_logits",
+                          binit=nn.initializers.constant(prior_bias))
+        pose_pred = conv(self.n_fg * 16, "pose_pred")
+        scales = self.param("scales", nn.initializers.ones, (self.n_levels,), jnp.float32)
+
+        logits, pose_reg = [], []
+        for lvl, x in enumerate(feats):
+            c = x
+            for cv, gn in cls_tower:
+                c = nn.relu(gn(cv(c)))
+            p = x
+            for cv, gn in pose_tower:
+                p = nn.relu(gn(cv(p)))
+            logits.append(cls_logits(c))
+            pose_reg.append(pose_pred(p) * scales[lvl])
+        return logits, pose_reg

@@ -1,0 +1,59 @@
+"""Full dense pose network: backbone -> FPN -> head -> flat per-cell outputs.
+
+TPU-first re-design of the reference `PoseModule` (`models/model.py:455-513`):
+instead of per-level NCHW tensors + per-image BoxList anchors, the network
+emits a single fixed-shape (B, A, C) tensor pair whose cell ordering matches
+the static anchor table (`anchors.make_anchors`) — levels concatenated,
+row-major within a level. Everything downstream (losses, postprocess, KD)
+operates on these flat tensors with no Python loops.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .darknet import DarkNet
+from .darknet53 import DarkNet53
+from .fpn import FPN
+from .head import PoseHead
+
+
+def make_backbone(cfg: ModelConfig, dtype=jnp.float32):
+    if cfg.backbone == "darknet53":
+        return DarkNet53(dtype=dtype)
+    if cfg.backbone == "darknet_tiny":
+        return DarkNet(version="tiny", dtype=dtype)
+    if cfg.backbone == "darknet_tiny_h":
+        return DarkNet(version="tiny-h", dtype=dtype)
+    raise ValueError(f"Unsupported backbone {cfg.backbone}")
+
+
+class PoseNet(nn.Module):
+    cfg: ModelConfig
+    n_fg: int = 15
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images (B, H, W, 3) -> (cls (B, A, n_fg), reg (B, A, n_fg*16)), f32."""
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        backbone = make_backbone(self.cfg, dtype=dtype)
+        feats = backbone(images.astype(dtype), train=train)
+        fpn = FPN(in_channels=self.cfg.feat_channels, out_channel=self.cfg.out_channel,
+                  use_p6p7=self.cfg.use_higher_levels, dtype=dtype)
+        pyramid = fpn(feats)
+        assert len(pyramid) == self.cfg.num_levels
+        head = PoseHead(n_fg=self.n_fg, n_conv=self.cfg.n_conv, prior=self.cfg.prior,
+                        n_levels=max(5, self.cfg.num_levels), dtype=dtype)
+        logits, pose_reg = head(pyramid)
+
+        B = images.shape[0]
+        flat_cls = jnp.concatenate(
+            [l.reshape(B, -1, self.n_fg) for l in logits], axis=1)
+        flat_reg = jnp.concatenate(
+            [r.reshape(B, -1, self.n_fg * 16) for r in pose_reg], axis=1)
+        assert flat_cls.shape[1] == self.cfg.num_cells, (
+            flat_cls.shape, self.cfg.num_cells)
+        return flat_cls.astype(jnp.float32), flat_reg.astype(jnp.float32)
