@@ -1,0 +1,117 @@
+"""Evaluation loop: forward -> postprocess -> remap -> metrics -> preds.json.
+
+Equivalent of the reference `valid()` (`libs/eval_libs.py:45-149`): per batch
+the compiled forward+postprocess runs on device; pose remapping to each
+image's native intrinsics (PnP refit, `libs/evaluate.py:174-195`), symmetry
+canonicalization and metric aggregation run on host, streaming, so the TPU is
+never blocked on Python.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.batch import Batch, TaskConsts
+from ..utils import geometry as geo
+from ..utils import metrics as M
+from ..utils.logging_utils import ScalarLogger
+
+
+def remap_pose_host(src_K: np.ndarray, R: np.ndarray, T: np.ndarray,
+                    pt3d: np.ndarray, dst_K: np.ndarray):
+    """Re-fit (R, T) under a different K by reprojecting the 8 corners and
+    solving PnP (reference libs/utils.py:504-526). Uses cv2 EPnP when present,
+    else the in-repo EPnP."""
+    M3 = dst_K @ np.linalg.inv(src_K)
+    pts = M3 @ (src_K @ (R @ pt3d.T + T.reshape(3, 1)))
+    xy2d = (pts[:2] / (pts[2:] + 1e-8)).T.astype(np.float64)
+    try:
+        import cv2
+        ok, rvec, tvec = cv2.solvePnP(
+            pt3d.reshape(-1, 1, 3).astype(np.float64), xy2d.reshape(-1, 1, 2),
+            dst_K.astype(np.float64), None, flags=cv2.SOLVEPNP_EPNP)
+        if ok:
+            return cv2.Rodrigues(rvec)[0], tvec.reshape(3, 1)
+    except ImportError:
+        pass
+    import jax.numpy as jnp
+    from ..ops.epnp import epnp
+    Rh, Th = epnp(jnp.asarray(pt3d, jnp.float32), jnp.asarray(xy2d, jnp.float32),
+                  jnp.asarray(dst_K, jnp.float32), jnp.ones((len(pt3d),), jnp.float32))
+    return np.asarray(Rh, np.float64), np.asarray(Th, np.float64).reshape(3, 1)
+
+
+def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn,
+          eval_batches: Iterable, meshes: Sequence[np.ndarray],
+          step: int = 0, working_dir: Optional[str] = None,
+          logger: Optional[ScalarLogger] = None, rng: Optional[jax.Array] = None,
+          verbose: bool = True) -> Dict:
+    """eval_batches yields (Batch, metas) where metas is a list of per-image
+    dicts with keys: filename, K, width, height, class_ids, rotations,
+    translations. Returns the metric structures of
+    `evaluate_pose_predictions` plus the per-class headline table string."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    sym = cfg.data.symmetry_dict()
+    kp3d = np.asarray(consts.kp3d)
+    K_int = np.asarray(consts.K)
+
+    preds: Dict[str, Dict] = {}
+    for batch, metas in eval_batches:
+        cls_logits, pred_reg = forward_fn(variables, batch.images)
+        rng, sub = jax.random.split(rng)
+        out = jax.device_get(postprocess_fn(cls_logits, pred_reg, batch, sub))
+        for i, meta in enumerate(metas):
+            entry_preds: List = []
+            if bool(out["valid"][i]):
+                cls_id = int(out["cls"][i])
+                R = np.asarray(out["R"][i], np.float64)
+                T = np.asarray(out["T"][i], np.float64).reshape(3, 1)
+                if np.isfinite(R).all() and np.isfinite(T).all():
+                    K_img = np.asarray(meta["K"], np.float64).reshape(3, 3)
+                    if not np.allclose(K_img, K_int, atol=1e-4):
+                        R, T = remap_pose_host(K_int, R, T,
+                                               kp3d[cls_id].astype(np.float64), K_img)
+                    if cls_id in sym:
+                        R = geo.pose_symmetry_handling(R, sym[cls_id]).astype(np.float64)
+                    entry_preds.append([float(out["score"][i]), cls_id,
+                                        R.tolist(), T.tolist()])
+            preds[meta["filename"]] = {
+                "meta": {
+                    "K": np.asarray(meta["K"]).reshape(3, 3).tolist(),
+                    "width": meta["width"], "height": meta["height"],
+                    "class_ids": [int(c) for c in np.atleast_1d(meta["class_ids"])],
+                    "rotations": np.asarray(meta["rotations"]).reshape(-1, 3, 3).tolist(),
+                    "translations": np.asarray(meta["translations"]).reshape(-1, 3).tolist(),
+                },
+                "pred": entry_preds,
+            }
+
+    if working_dir:
+        os.makedirs(working_dir, exist_ok=True)
+        with open(os.path.join(working_dir, "preds.json"), "w") as f:
+            json.dump(preds, f)
+
+    results = M.evaluate_pose_predictions(
+        preds, cfg.data.n_class, meshes, list(cfg.data.mesh_diameters), sym)
+    table = M.format_accuracy_table(results)
+    if verbose:
+        print(f"[valid @ step {step}]\n{table}")
+    if logger is not None:
+        scalars = {}
+        for ci, acc in enumerate(results["adi_per_class"]):
+            for k, v in acc.items():
+                if k == "ADI.10d":
+                    scalars[f"ADI/class_{ci:02d}"] = v
+        adi10 = [acc.get("ADI.10d") for acc in results["adi_per_class"]
+                 if "ADI.10d" in acc]
+        if adi10:
+            scalars["ADI/all_class"] = float(np.mean(adi10))
+        logger.log(step, scalars)
+    results["table"] = table
+    results["predictions"] = preds
+    return results

@@ -1,0 +1,75 @@
+"""Inference postprocess: dense predictions -> 6D poses, fully on device.
+
+Re-design of the reference `PostProcessor` (`postprocess/postprocess.py`):
+threshold -> per-level quota voting (ops.voting) -> inverse crop affine ->
+RANSAC-EPnP (ops.epnp, on device instead of the reference's CPU
+`cv2.solvePnPRansac` hop). Symmetry canonicalization of the predicted R stays
+host-side (it is a per-result Euler decomposition, reference
+postprocess/postprocess.py:84-90).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.batch import Batch, TaskConsts
+from ..ops.epnp import ransac_epnp
+from ..ops.object_space import select_class_pred
+from ..ops.voting import vote_cells, votes_to_internal_frame
+
+
+def build_postprocess(cfg: Config, consts: TaskConsts):
+    """Returns predict(cls_logits, pred_reg, batch, rng) -> dict of arrays:
+    R (B,3,3), T (B,3), score (B,), cls (B,), n_inliers (B,), valid (B,).
+
+    Votes the image's GT class (the reference restricts candidate labels to
+    `target.class_ids`, postprocess/postprocess.py:111-113; LINEMOD scenes
+    carry one object)."""
+    m, t = cfg.model, cfg.test
+
+    @jax.jit
+    def predict(cls_logits, pred_reg, batch: Batch, rng):
+        B = cls_logits.shape[0]
+        gt_cls = jnp.clip(batch.class_ids[:, 0], 0)
+        scores = jax.nn.sigmoid(cls_logits)
+        s = jnp.take_along_axis(scores, gt_cls[:, None, None], axis=2)[..., 0]
+        pred16 = select_class_pred(pred_reg, jnp.broadcast_to(gt_cls[:, None], s.shape))
+        votes = vote_cells(
+            s, pred16, input_res=m.input_res, strides=m.level_strides,
+            all_sizes=m.anchor_sizes, confidence_th=t.confidence_th,
+            positive_num=cfg.solver.positive_num,
+            positive_lambda=cfg.solver.positive_lambda, max_votes=t.max_votes)
+        kp_internal = votes_to_internal_frame(votes, batch.bbox_trans)  # (B,V,8,2)
+
+        corners = consts.kp3d[gt_cls]                                   # (B,8,3)
+        V = kp_internal.shape[1]
+        pts3d = jnp.broadcast_to(corners[:, None], (B, V, 8, 3)).reshape(B, V * 8, 3)
+        pts2d = kp_internal.reshape(B, V * 8, 2)
+        valid = jnp.broadcast_to(votes.valid[:, :, None], (B, V, 8)).reshape(B, V * 8)
+
+        rngs = jax.random.split(rng, B)
+        solve = functools.partial(ransac_epnp, iters=t.ransac_iters,
+                                  reproj_err=t.ransac_reproj_err)
+        R, T, n_in = jax.vmap(lambda p3, p2, v, r: solve(p3, p2, v, consts.K, r))(
+            pts3d, pts2d, valid, rngs)
+
+        # result confidence = max vote score, reported as sqrt(sigmoid) like
+        # the reference (postprocess/postprocess.py:57)
+        conf = jnp.sqrt(jnp.max(jnp.where(votes.valid, votes.score, 0.0), axis=1))
+        has_votes = votes.valid.any(-1) & (batch.class_ids[:, 0] >= 0)
+        return dict(R=R, T=T, score=conf, cls=gt_cls, n_inliers=n_in,
+                    valid=has_votes, kp2d=kp_internal, vote_valid=votes.valid)
+
+    return predict
+
+
+def apply_symmetry_host(R, cls_id: int, symmetry: Dict[int, tuple]):
+    """Host-side symmetry canonicalization of a predicted rotation."""
+    from ..utils.geometry import pose_symmetry_handling
+    if cls_id in symmetry:
+        return pose_symmetry_handling(R, symmetry[cls_id])
+    return R

@@ -1,0 +1,147 @@
+"""Compiled train/eval steps.
+
+One `jit`-compiled program per step containing: teacher forward (stop-grad),
+teacher-knowledge voting, student forward/backward, loss weighting, gradient
+clipping, AdamW with OneCycle LR/momentum — the reference splits this across
+`train_kd.py:104-140` with host round-trips; here it is a single XLA program.
+
+SPMD: the step is jitted over a 1-D `Mesh('data')` with batch-sharded inputs
+and replicated params. All losses are global sums, so XLA inserts the
+cross-device reductions automatically — this *fixes* the reference's dead-DDP
+quirk (SURVEY §2.10) where gradients were never synchronized.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.batch import Batch, TaskConsts
+from ..models.pose_net import PoseNet
+from ..ops.object_space import select_class_pred
+from ..ops.voting import Votes, vote_cells, votes_to_internal_frame
+from .losses import pose_losses
+from .schedule import onecycle_linear_beta1, onecycle_linear_lr
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config, n_devices: int = 1):
+    """AdamW(wd=1e-4) + OneCycle linear LR + cycled beta1 + grad-clip 1.0
+    (reference libs/train_libs.py:117-120; LR divided by world size as the
+    reference does, libs/train_libs.py:117)."""
+    total = cfg.solver.max_iter + 100  # reference passes MAX_ITER+100
+    lr = onecycle_linear_lr(cfg.solver.base_lr / n_devices, total)
+    b1 = onecycle_linear_beta1(total)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.solver.grad_clip),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, b1=b1, weight_decay=cfg.solver.weight_decay),
+    )
+
+
+def create_train_state(rng: jax.Array, cfg: Config, net: PoseNet,
+                       optimizer) -> TrainState:
+    x = jnp.zeros((1, cfg.model.input_res, cfg.model.input_res, 3), jnp.float32)
+    variables = net.init(rng, x)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=optimizer.init(params))
+
+
+def teacher_knowledge(t_cls: jnp.ndarray, t_reg: jnp.ndarray, batch: Batch,
+                      cfg_t: Config, max_votes: int) -> Votes:
+    """Teacher voted-cell extraction (reference PostProcessorKD,
+    `postprocess/postprocess_kd.py` + `models/model_kd.py:83-92`).
+
+    Deviations (documented): the voted class is the image's GT class (the
+    reference votes the first candidate label — identical on single-class
+    LINEMOD scenes), and the teacher-side RANSAC-PnP is skipped since its
+    R|T outputs are never consumed by the KD loss.
+    """
+    m = cfg_t.model
+    gt_cls = jnp.clip(batch.class_ids[:, 0], 0)                   # (B,)
+    scores = jax.nn.sigmoid(t_cls)                                # (B,A,nfg)
+    s = jnp.take_along_axis(scores, gt_cls[:, None, None], axis=2)[..., 0]
+    pred16 = select_class_pred(t_reg, jnp.broadcast_to(
+        gt_cls[:, None], s.shape))                                # (B,A,16)
+    votes = vote_cells(
+        s, pred16, input_res=m.input_res, strides=m.level_strides,
+        all_sizes=m.anchor_sizes, confidence_th=cfg_t.test.confidence_th,
+        positive_num=cfg_t.solver.positive_num,
+        positive_lambda=cfg_t.solver.positive_lambda, max_votes=max_votes)
+    kp_internal = votes_to_internal_frame(votes, batch.bbox_trans)
+    valid = votes.valid & (batch.class_ids[:, :1] >= 0)
+    return Votes(kp2d=kp_internal, score=votes.score, valid=valid,
+                 box_size=votes.box_size)
+
+
+def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
+                     net: PoseNet, teacher_net: Optional[PoseNet], optimizer,
+                     distill: bool = True):
+    """Returns step_fn(state, teacher_vars, batch, rng) -> (state, metrics).
+
+    With distill=False (kd_weight 0 baseline, reference train.sh:3) the
+    teacher is skipped entirely.
+    """
+
+    w_img, h_img = float(cfg.data.internal_width), float(cfg.data.internal_height)
+
+    def step_fn(state: TrainState, teacher_vars, batch: Batch, rng: jax.Array):
+        teacher = None
+        if distill and teacher_net is not None:
+            t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
+            votes = teacher_knowledge(
+                jax.lax.stop_gradient(t_cls), jax.lax.stop_gradient(t_reg),
+                batch, cfg_t, cfg.kd.max_teacher_cells)
+            teacher = (votes, w_img, h_img)
+
+        def loss_fn(params):
+            (cls_logits, pred_reg), mutated = net.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.images, train=True, mutable=["batch_stats"])
+            out = pose_losses(rng, cls_logits, pred_reg, batch, consts, cfg,
+                              teacher=teacher)
+            total = (cfg.solver.loss_weight_cls * out.loss_cls
+                     + cfg.solver.loss_weight_reg * out.loss_reg)
+            if teacher is not None and cfg.kd.weight > 0:
+                total = total + cfg.kd.weight * out.loss_kd
+            return total, (out, mutated["batch_stats"])
+
+        (total, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        metrics = {
+            "loss_total": total,
+            "loss_cls": out.loss_cls,
+            "loss_reg": out.loss_reg,
+            "loss_kd": out.loss_kd,
+            "num_pos": out.num_pos,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step_fn
+
+
+def build_forward(cfg: Config, net: PoseNet):
+    """Plain eval-mode forward producing flat (cls, reg)."""
+
+    @jax.jit
+    def fwd(variables, images):
+        return net.apply(variables, images, train=False)
+
+    return fwd

@@ -1,0 +1,45 @@
+"""SPMD device mesh + sharding helpers.
+
+The reference's only parallel strategy is data parallelism over
+torch.distributed/gloo, with a quirk that disabled gradient sync
+(SURVEY §2.10). TPU-native design: a 1-D `Mesh('data')`; the entire train
+step (teacher fwd + student fwd/bwd + optimizer) compiles once under jit with
+batch-sharded inputs and replicated params; XLA inserts the ICI collectives
+(gradient reductions come out of the global-sum losses automatically).
+
+No TP/PP/EP/SP is built: the model is a <42M-param ConvNet with no attention,
+sequence, or expert structure (SURVEY §5.7) — batch is the only scale axis.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding for every array in a Batch pytree."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device_put a host batch with its leading axis split over the mesh."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)

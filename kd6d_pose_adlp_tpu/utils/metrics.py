@@ -1,0 +1,174 @@
+"""Pose evaluation metrics: ADD/ADI, AUC, 2D reprojection, per-depth bins.
+
+Host-side NumPy port of the reference evaluation semantics
+(`libs/utils.py:715-765`, `libs/evaluate.py:24-172`): per class,
+ADD (or closest-point ADI for symmetric classes) relative to the mesh
+diameter at thresholds {0.05, 0.10, 0.20, 0.50}, AUC of absolute 3D error
+(<=100mm, 1000 bins), 2D reprojection at {2, 5, 10, 20}px, with miss
+penalties (1.0 rel / 50px / 1e10mm) and 3 depth bins.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+THRESHOLDS_ADI = (0.05, 0.10, 0.20, 0.50)
+THRESHOLDS_REP = (2, 5, 10, 20)
+INF = 100000000
+
+
+def compute_pose_diff(mesh3ds: np.ndarray, K: np.ndarray,
+                      gtR, gtT, predR, predT, is_sym: bool = False,
+                      max_pts: int = 1000, rng: np.random.Generator = None
+                      ) -> Tuple[float, float]:
+    """(mean 3D point distance, mean 2D reprojection distance). Symmetric
+    objects use closest-point matching (ADI). Meshes are subsampled to
+    `max_pts` vertices (reference libs/utils.py:715-745)."""
+    pts = np.asarray(mesh3ds, np.float64)
+    if len(pts) > max_pts:
+        rng = rng or np.random.default_rng(0)
+        pts = pts[rng.choice(len(pts), max_pts, replace=True)]
+    gtT = np.asarray(gtT, np.float64).reshape(3, 1)
+    predT = np.asarray(predT, np.float64).reshape(3, 1)
+    p1 = (np.asarray(gtR) @ pts.T + gtT).T
+    p2 = (np.asarray(predR) @ pts.T + predT).T
+
+    if is_sym:
+        # closest point in p2 for each point of p1
+        d = np.linalg.norm(p1[:, None, :] - p2[None, :, :], axis=2)
+        p2 = p2[np.argmin(d, axis=1)]
+
+    def proj(p):
+        q = (np.asarray(K) @ p.T)
+        return (q[:2] / (q[2:] + 1e-8)).T
+
+    err_3d = float(np.linalg.norm(p1 - p2, axis=1).mean())
+    err_2d = float(np.linalg.norm(proj(p1) - proj(p2), axis=1).mean())
+    return err_3d, err_2d
+
+
+def compute_pose_diff_speed(gtR, gtT, predR, predT) -> Tuple[float, float]:
+    from .geometry import rotation2quaternion
+    q1 = rotation2quaternion(np.asarray(gtR))
+    q2 = rotation2quaternion(np.asarray(predR))
+    err_r = 2 * np.arccos(min(1.0, abs(float(q1 @ q2))))
+    err_t = float(np.linalg.norm(np.asarray(gtT).reshape(-1) - np.asarray(predT).reshape(-1))
+                  / (np.linalg.norm(np.asarray(gtT)) + 1e-12))
+    return err_r, err_t
+
+
+def auc_metric(errors: Sequence[float], max_err: float, bins: int = 1000) -> float:
+    """Normalized area under the accuracy-vs-threshold curve
+    (reference libs/utils.py:754-765)."""
+    e = np.asarray(errors, np.float64)
+    if len(e) == 0:
+        return 0.0
+    ths = (np.arange(1, bins + 1) * (max_err / bins))[None, :]
+    return float((e[:, None] <= ths).mean())
+
+
+def evaluate_pose_predictions(predictions: Dict, class_number: int,
+                              meshes: Sequence[np.ndarray],
+                              mesh_diameters: Sequence[float],
+                              symmetry_types: Dict[int, Sequence]) -> Dict:
+    """predictions: {filename: {'meta': {K, class_ids, rotations, translations},
+    'pred': [[score, clsid, R, T, xy2d?], ...]}} (reference preds.json layout).
+
+    Returns dict with per-class ADI/AUC/REP accuracy dicts and per-depth bins
+    (reference libs/evaluate.py:24-172).
+    """
+    class_num = class_number - 1
+    depth_bins = 3
+
+    depth_min, depth_max = INF, 0.0
+    for item in predictions.values():
+        for T in np.asarray(item["meta"]["translations"]).reshape(-1, 3):
+            depth_min = min(depth_min, float(T[2]))
+            depth_max = max(depth_max, float(T[2]))
+    depth_max += 1e-5
+    bin_w = (depth_max - depth_min) / depth_bins
+
+    adi_per_class, auc_per_class, rep_per_class = [], [], []
+    errs_adi_depth = [[] for _ in range(depth_bins)]
+    errs_rep_depth = [[] for _ in range(depth_bins)]
+
+    for clsid in range(class_num):
+        is_sym = clsid in symmetry_types
+        errors_adi, errors_abs3d, errors_rep = [], [], []
+        for item in predictions.values():
+            meta = item["meta"]
+            K = np.asarray(meta["K"])
+            gt_ids = list(meta["class_ids"])
+            if clsid not in gt_ids:
+                continue
+            gi = gt_ids.index(clsid)
+            gtR = np.asarray(meta["rotations"]).reshape(-1, 3, 3)[gi]
+            gtT = np.asarray(meta["translations"]).reshape(-1, 3)[gi]
+            depth_idx = int((float(gtT[2]) - depth_min) / bin_w)
+            pred = [p for p in item["pred"] if int(p[1]) == clsid]
+            if pred:
+                R2, T2 = np.asarray(pred[0][2]), np.asarray(pred[0][3])
+                e3, e2 = compute_pose_diff(meshes[clsid], K, gtR, gtT, R2, T2,
+                                           is_sym=is_sym)
+                errors_adi.append(e3 / mesh_diameters[clsid])
+                errors_abs3d.append(e3)
+                errors_rep.append(e2)
+                errs_adi_depth[depth_idx].append(e3 / mesh_diameters[clsid])
+                errs_rep_depth[depth_idx].append(e2)
+            else:  # miss penalties (reference libs/evaluate.py:110-118)
+                errors_adi.append(1.0)
+                errors_abs3d.append(1e10)
+                errors_rep.append(50.0)
+                errs_adi_depth[depth_idx].append(1.0)
+                errs_rep_depth[depth_idx].append(50.0)
+
+        n = len(errors_adi)
+        if n > 0:
+            adi_per_class.append({
+                "ADI" + (f"{t:.2f}d").lstrip("0"): 100.0 * (np.asarray(errors_adi) < t).mean()
+                for t in THRESHOLDS_ADI})
+            auc_per_class.append({"AUC    ": 100.0 * auc_metric(errors_abs3d, 100.0)})
+            rep_per_class.append({
+                f"REP{t:02d}px": 100.0 * (np.asarray(errors_rep) < t).mean()
+                for t in THRESHOLDS_REP})
+        else:
+            adi_per_class.append({})
+            auc_per_class.append({})
+            rep_per_class.append({})
+
+    adi_per_depth, rep_per_depth = [], []
+    for i in range(depth_bins):
+        if errs_adi_depth[i]:
+            adi_per_depth.append({
+                "ADI" + (f"{t:.2f}d").lstrip("0"):
+                    100.0 * (np.asarray(errs_adi_depth[i]) < t).mean()
+                for t in THRESHOLDS_ADI})
+            rep_per_depth.append({
+                f"REP{t:02d}px": 100.0 * (np.asarray(errs_rep_depth[i]) < t).mean()
+                for t in THRESHOLDS_REP})
+        else:
+            adi_per_depth.append({})
+            rep_per_depth.append({})
+
+    return dict(adi_per_class=adi_per_class, auc_per_class=auc_per_class,
+                rep_per_class=rep_per_class, adi_per_depth=adi_per_depth,
+                rep_per_depth=rep_per_depth, depth_range=[depth_min, depth_max])
+
+
+def format_accuracy_table(results: Dict) -> str:
+    """Per-class accuracy table (reference libs/utils.py:620-653 style)."""
+    lines = []
+    all_keys = {}
+    for group in ("adi_per_class", "auc_per_class", "rep_per_class"):
+        for ci, acc in enumerate(results[group]):
+            for k, v in acc.items():
+                all_keys.setdefault(k, {})[ci] = v
+    classes = sorted({ci for m in all_keys.values() for ci in m})
+    header = "metric   " + "".join(f"  cls_{c:02d}" for c in classes) + "     avg"
+    lines.append(header)
+    for k, m in all_keys.items():
+        vals = [m.get(c, float("nan")) for c in classes]
+        avg = np.nanmean(vals) if vals else float("nan")
+        lines.append(f"{k:9s}" + "".join(f"  {v:6.2f}" for v in vals) + f"  {avg:6.2f}")
+    return "\n".join(lines)
