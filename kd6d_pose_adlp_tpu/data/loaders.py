@@ -1,0 +1,104 @@
+"""Unified data access for the drivers: BOP-on-disk or procedural synthetic.
+
+`build(cfg, kind)` returns a DataBundle with the same interface either way,
+so train_kd.py / test.py are data-source agnostic.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from .batch import Batch, TaskConsts
+
+
+@dataclasses.dataclass
+class DataBundle:
+    consts: TaskConsts
+    meshes: List[np.ndarray]          # per-class vertex arrays (for ADD/ADI)
+    train_iter: Callable[[], Iterable[Batch]]
+    eval_batches: Callable[[], Iterable]  # yields (Batch, metas)
+
+
+def build(cfg: Config, kind: str = "bop", eval_limit: Optional[int] = None) -> DataBundle:
+    if kind == "synthetic":
+        return _build_synthetic(cfg, eval_limit or 64)
+    return _build_bop(cfg, eval_limit)
+
+
+def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
+    from .synthetic import SyntheticPoseDataset
+    ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=cfg.model.input_res,
+                              max_objs=cfg.solver.max_objs, single_class=0,
+                              seed=cfg.solver.seed)
+    consts = ds.consts()
+    meshes = [np.asarray(consts.kp3d[c]) for c in range(cfg.data.n_fg)]
+    bs = cfg.solver.ims_per_batch
+    # use the synthetic box diameters, not the LINEMOD ones from the yaml
+    cfg_d = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, mesh_diameters=tuple(np.asarray(consts.diameters))))
+
+    def train_iter():
+        for step in itertools.count():
+            yield ds.batch(range(1000 + step * bs, 1000 + (step + 1) * bs), train=True)
+
+    def eval_batches():
+        tb = cfg.test.ims_per_batch
+        for start in range(0, eval_n, tb):
+            idx = list(range(start, min(start + tb, eval_n)))
+            if len(idx) < tb:  # static shapes: pad by wrapping
+                idx += list(range(tb - len(idx)))
+            batch = ds.batch(idx, train=False)
+            metas = []
+            for i in idx:
+                s = ds.sample(i, train=False)
+                metas.append(dict(filename=f"synthetic_{i:06d}.png",
+                                  K=s["meta"]["K"], width=s["meta"]["width"],
+                                  height=s["meta"]["height"],
+                                  class_ids=[s["meta"]["cls"]],
+                                  rotations=[s["meta"]["R"]],
+                                  translations=[s["meta"]["T"]]))
+            yield batch, metas
+
+    bundle = DataBundle(consts=consts, meshes=meshes,
+                        train_iter=train_iter, eval_batches=eval_batches)
+    bundle.cfg = cfg_d
+    return bundle
+
+
+def _build_bop(cfg: Config, eval_limit: Optional[int]) -> DataBundle:
+    from .pipeline import BOPPoseDataset, PrefetchLoader, collate
+    train_ds = BOPPoseDataset(cfg, cfg.data.train_list, train=True)
+    valid_ds = BOPPoseDataset(cfg, cfg.data.valid_list or cfg.data.test_list,
+                              train=False)
+    consts = train_ds.consts()
+    meshes = train_ds.meshes
+
+    def train_iter():
+        loader = PrefetchLoader(train_ds, cfg.solver.ims_per_batch, train=True,
+                                seed=cfg.solver.seed)
+        for batch, _ in loader:
+            yield batch
+
+    def eval_batches():
+        n = len(valid_ds) if eval_limit is None else min(eval_limit, len(valid_ds))
+        tb = cfg.test.ims_per_batch
+        for start in range(0, n, tb):
+            idx = [min(i, n - 1) for i in range(start, start + tb)]
+            samples = []
+            for i in idx:
+                s = valid_ds.sample(i, seed=0)
+                if s is not None:
+                    samples.append(s)
+            if not samples:
+                continue
+            while len(samples) < tb:
+                samples.append(samples[-1])
+            yield collate(samples), [s["meta"] for s in samples]
+
+    return DataBundle(consts=consts, meshes=meshes,
+                      train_iter=train_iter, eval_batches=eval_batches)

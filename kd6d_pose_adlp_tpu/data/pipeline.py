@@ -1,0 +1,211 @@
+"""BOP dataset -> fixed-shape training samples, with threaded prefetch.
+
+Per-item flow (reference libs/dataset.py:59-183 `getitem_dzi`):
+load image + BOP annotation -> resize/augment to the internal 640x480 frame
+(single combined affine + pose refit) -> drop tiny-mask objects -> GT-pose
+symmetry canonicalization -> DZI crop to 256x256 with `bbox_trans` ->
+normalize. Output contract matches `data.synthetic` exactly, so the training
+loop is data-source agnostic.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..utils import geometry as geo
+from ..utils.mesh import load_bbox_3d, load_bop_meshes
+from . import bop
+from . import transforms as T
+from .batch import Batch, TaskConsts
+
+
+class BOPPoseDataset:
+    def __init__(self, cfg: Config, list_file: str, train: bool):
+        self.cfg = cfg
+        self.train = train
+        self.images = bop.read_image_list(list_file)
+        self.meshes, self.obj2cls = load_bop_meshes(cfg.data.mesh_dir)
+        self.kp3d = load_bbox_3d(cfg.data.bbox_file)
+        self.sym = cfg.data.symmetry_dict()
+        self.internal_K = cfg.data.internal_K_np()
+
+    def __len__(self):
+        return len(self.images)
+
+    def consts(self) -> TaskConsts:
+        return TaskConsts.create(self.internal_K, self.kp3d,
+                                 self.cfg.data.mesh_diameters)
+
+    def sample(self, index: int, seed: int = 0) -> Optional[Dict]:
+        import cv2
+        cfg = self.cfg
+        s = cfg.solver
+        rng = np.random.default_rng((seed * 1_000_003 + index) & 0x7FFFFFFF)
+        path = self.images[index % len(self.images)]
+        try:
+            img = bop.read_image(path)
+            K, mask, class_ids, Rs, Ts = bop.get_single_bop_annotation(
+                path, self.obj2cls)
+        except Exception:
+            return None
+        if len(class_ids) == 0:
+            return None
+        h, w = img.shape[:2]
+        W, H = cfg.data.internal_width, cfg.data.internal_height
+
+        # one combined affine: internal-frame fit (+ train-time SSR aug)
+        M = T.internal_frame_matrix(w, h, W, H)
+        if self.train:
+            M = T.random_ssr_matrix(rng, s.aug_shift, s.aug_scale,
+                                    s.aug_rotation, W, H) @ M
+        img = cv2.warpAffine(img, M[:2], (W, H), flags=cv2.INTER_LINEAR,
+                             borderValue=(128, 128, 128))
+        mask = cv2.warpAffine(mask.astype(np.float32), M[:2], (W, H),
+                              flags=cv2.INTER_NEAREST).astype(np.int32)
+        kp3d_objs = [self.kp3d[c] for c in class_ids]
+        Rs, Ts = T.remap_poses(K, Rs, Ts, kp3d_objs, self.internal_K, M)
+
+        # pixel-level augmentations (train only)
+        if self.train:
+            if s.aug_color_h or s.aug_color_s or s.aug_color_v:
+                img = T.distort_hsv(img, rng, s.aug_color_h, s.aug_color_s, s.aug_color_v)
+            if s.aug_noise > 0:
+                img = T.distort_noise(img, rng, s.aug_noise)
+            if s.aug_smooth > 0:
+                img = T.distort_smooth(img, rng, s.aug_smooth)
+            if s.aug_occlusion > 0:
+                img, mask = T.random_occlusion(img, mask, rng, s.aug_occlusion)
+            if s.aug_grayscalize:
+                img = T.grayscalize(img)
+
+        # drop objects with tiny masks (reference remove_invalids, min_area=10)
+        keep, new_mask = [], np.zeros_like(mask)
+        new_mask[mask == -1] = -1
+        nxt = 1
+        for i in range(len(class_ids)):
+            m = mask == (i + 1)
+            if m.sum() < 10:
+                continue
+            keep.append(i)
+            new_mask[m] = nxt
+            nxt += 1
+        if not keep:
+            return None
+        mask = new_mask
+        class_ids = [class_ids[i] for i in keep]
+        Rs = [Rs[i] for i in keep]
+        Ts = [Ts[i] for i in keep]
+
+        # GT symmetry canonicalization (reference libs/dataset.py:174-176)
+        Rs = [geo.pose_symmetry_handling(R, self.sym[c]) if c in self.sym else R
+              for R, c in zip(Rs, class_ids)]
+
+        # DZI crop on the FIRST object (reference dzi_train/dzi_test use
+        # bbox[0]; LINEMOD scenes carry one object)
+        kp2d = geo.project_points(self.internal_K, Rs[0], Ts[0],
+                                  self.kp3d[class_ids[0]])
+        box = geo.corners_bbox_xyxy(kp2d[None])[0]
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        bw, bh = box[2] - box[0], box[3] - box[1]
+        if self.train:
+            sr = 1 + 0.25 * (2 * rng.random() - 1)
+            sh = 0.25 * (2 * rng.random(2) - 1)
+            center = np.array([cx + bw * sh[0], cy + bh * sh[1]])
+            scale = max(bh, bw) * sr * 1.5
+        else:
+            center = np.array([cx, cy])
+            scale = max(max(bh, bw), 1.0) * 1.5
+        scale = min(scale, max(H, W)) * 1.0
+        res = cfg.model.input_res
+        Mc = geo.dzi_affine(center, scale, res)
+        crop = cv2.warpAffine(img, Mc, (res, res), flags=cv2.INTER_LINEAR)
+        mask_c = cv2.warpAffine(mask.astype(np.float32), Mc, (res, res),
+                                flags=cv2.INTER_NEAREST).astype(np.int32)
+
+        G = s.max_objs
+        cls_arr = np.full((G,), -1, np.int32)
+        R_arr = np.zeros((G, 3, 3), np.float32)
+        T_arr = np.zeros((G, 3), np.float32)
+        n = min(len(class_ids), G)
+        cls_arr[:n] = class_ids[:n]
+        for i in range(n):
+            R_arr[i] = Rs[i]
+            T_arr[i] = Ts[i]
+        return dict(
+            image=T.normalize(crop), mask=mask_c, class_ids=cls_arr,
+            rotations=R_arr, translations=T_arr, bbox_trans=Mc,
+            meta=dict(filename=path, K=K, width=w, height=h,
+                      class_ids=list(class_ids[:n]),
+                      rotations=[np.asarray(r) for r in Rs[:n]],
+                      translations=[np.asarray(t) for t in Ts[:n]]))
+
+
+def collate(samples: List[Dict]) -> Batch:
+    import jax.numpy as jnp
+    stack = lambda k: jnp.asarray(np.stack([s[k] for s in samples]))
+    return Batch(images=stack("image"), mask=stack("mask"),
+                 class_ids=stack("class_ids"), rotations=stack("rotations"),
+                 translations=stack("translations"), bbox_trans=stack("bbox_trans"))
+
+
+class PrefetchLoader:
+    """Threaded batch prefetcher (cv2 releases the GIL during decode/warp).
+    Failed samples are redrawn randomly like the reference
+    (libs/dataset.py:64-70)."""
+
+    def __init__(self, dataset, batch_size: int, train: bool = True,
+                 num_threads: int = 2, depth: int = 4, seed: int = 0):
+        self.ds = dataset
+        self.bs = batch_size
+        self.train = train
+        self.seed = seed
+        self.num_threads = max(num_threads, 1)
+        self.depth = depth
+
+    def _make_batch(self, epoch: int, start: int):
+        rng = np.random.default_rng(epoch * 7919 + start)
+        samples = []
+        idx = start
+        while len(samples) < self.bs:
+            s = self.ds.sample(idx % len(self.ds), seed=self.seed + epoch)
+            if s is None:
+                idx = int(rng.integers(0, len(self.ds)))
+                continue
+            samples.append(s)
+            idx += 1
+        return collate(samples), [s["meta"] for s in samples]
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def producer():
+            epoch, pos = 0, 0
+            order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
+                if self.train else np.arange(len(self.ds))
+            while not stop.is_set():
+                start = int(order[pos % len(order)])
+                q.put(self._make_batch(epoch, start))
+                pos += self.bs
+                if pos >= len(order):
+                    epoch += 1
+                    pos = 0
+                    if self.train:
+                        order = np.random.default_rng(
+                            self.seed + epoch).permutation(len(self.ds))
+                    else:
+                        stop.set()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                if stop.is_set() and q.empty():
+                    break
+                yield q.get()
+        finally:
+            stop.set()

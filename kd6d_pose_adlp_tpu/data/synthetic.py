@@ -57,8 +57,10 @@ def _fill_convex(mask: np.ndarray, pts: np.ndarray, value: int):
     for i in range(n):
         ax, ay = poly[i]
         bx, by = poly[(i + 1) % n]
+        # scipy's 2D ConvexHull vertices are counter-clockwise: interior
+        # points have non-negative cross products with every edge
         cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
-        inside &= cross <= 0
+        inside &= cross >= 0
     mask[y0:y1, x0:x1][inside] = value
 
 

@@ -1,0 +1,62 @@
+"""Evaluation driver (CLI) — reference `test.py` equivalent.
+
+Loads a checkpoint (final.ckpt / latest.ckpt, loose loading) and evaluates on
+the configured test split; prints the per-class ADD/ADI/AUC/REP table and
+writes preds.json.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", type=str, default="./configs/ape.yaml")
+    p.add_argument("--backbone", type=str, default="darknet_tiny_h")
+    p.add_argument("--weight_file", type=str, required=True)
+    p.add_argument("--test_file", type=str, default="")
+    p.add_argument("--working_dir", type=str, default="./outputs/eval/")
+    p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
+    p.add_argument("--ims_per_batch", type=int, default=24)  # reference test.py:114
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kd6d_pose_adlp_tpu.config import load_yaml_config
+    from kd6d_pose_adlp_tpu.data import loaders
+    from kd6d_pose_adlp_tpu.engine import evaluator
+    from kd6d_pose_adlp_tpu.engine.postprocess import build_postprocess
+    from kd6d_pose_adlp_tpu.engine.steps import build_forward
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
+
+    cfg = load_yaml_config(args.config_file, backbone=args.backbone)
+    if args.test_file:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, test_list=args.test_file,
+                                                   valid_list=args.test_file))
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        test=dataclasses.replace(cfg.test, ims_per_batch=args.ims_per_batch))
+
+    data = loaders.build(cfg, kind=args.data)
+    if args.data == "synthetic":
+        cfg = data.cfg
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros(
+        (1, cfg.model.input_res, cfg.model.input_res, 3)))
+    variables, n = load_params_loose(args.weight_file, variables)
+    print(f"loaded {n} tensors from {args.weight_file}")
+
+    forward = build_forward(cfg, net)
+    postprocess = build_postprocess(cfg, data.consts)
+    evaluator.valid(cfg, data.consts, variables, forward, postprocess,
+                    data.eval_batches(), data.meshes, step=0,
+                    working_dir=args.working_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""BOP on-disk pipeline: fabricate a miniature BOP dataset and run the full
+host pipeline (PLY loader -> annotations -> internal-frame warp + pose refit
+-> DZI crop -> fixed-shape batch)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from kd6d_pose_adlp_tpu.config import Config, DataConfig, ModelConfig, SolverConfig
+from kd6d_pose_adlp_tpu.data.pipeline import BOPPoseDataset, PrefetchLoader, collate
+from kd6d_pose_adlp_tpu.utils import geometry as geo
+from kd6d_pose_adlp_tpu.utils.mesh import load_bop_meshes, load_ply_vertices, mesh_bbox_corners
+
+K0 = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float64)
+CORNERS = np.array([[x, y, z] for x in (-40, 40) for y in (-30, 30)
+                    for z in (-50, 50)], np.float32)
+
+
+def _write_ply(path, verts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop")
+    models = root / "models"
+    models.mkdir()
+    _write_ply(models / "obj_000001.ply", CORNERS)
+    with open(root / "bbox.json", "w") as f:
+        json.dump([mesh_bbox_corners(CORNERS).tolist()], f)
+
+    scene = root / "train" / "000001"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "mask_visib").mkdir()
+    cam, gt = {}, {}
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(4):
+        R = geo.quaternion2rotation(rng.normal(size=4))
+        T = np.array([rng.uniform(-50, 50), rng.uniform(-40, 40),
+                      rng.uniform(700, 1000)])
+        kp = geo.project_points(K0, R, T, CORNERS.astype(np.float64))
+        img = np.full((480, 640, 3), 70, np.uint8)
+        hull = cv2.convexHull(kp.astype(np.float32))
+        cv2.fillConvexPoly(img, hull.astype(np.int32), (30, 200, 90))
+        mask = np.zeros((480, 640), np.uint8)
+        cv2.fillConvexPoly(mask, hull.astype(np.int32), 255)
+        name = f"{i:06d}"
+        cv2.imwrite(str(scene / "rgb" / f"{name}.png"), img)
+        cv2.imwrite(str(scene / "mask_visib" / f"{name}_000000.png"), mask)
+        cam[str(i)] = {"cam_K": K0.reshape(-1).tolist(), "depth_scale": 1.0}
+        gt[str(i)] = [{"cam_R_m2c": R.reshape(-1).tolist(),
+                       "cam_t_m2c": T.reshape(-1).tolist(), "obj_id": 1}]
+        names.append(f"train/000001/rgb/{name}.png")
+    with open(scene / "scene_camera.json", "w") as f:
+        json.dump(cam, f)
+    with open(scene / "scene_gt.json", "w") as f:
+        json.dump(gt, f)
+    with open(root / "train_list.txt", "w") as f:
+        f.write("\n".join(names))
+    return root
+
+
+def _cfg(root):
+    return Config(
+        data=DataConfig(train_list=str(root / "train_list.txt"),
+                        mesh_dir=str(root / "models") + "/",
+                        bbox_file=str(root / "bbox.json"),
+                        n_class=2, mesh_diameters=(float(np.linalg.norm([80, 60, 100])),),
+                        symmetry_types=()),
+        model=ModelConfig(input_res=128),
+        solver=SolverConfig(max_objs=2, ims_per_batch=2),
+    )
+
+
+def test_ply_loader(bop_root):
+    verts = load_ply_vertices(str(bop_root / "models" / "obj_000001.ply"))
+    np.testing.assert_allclose(verts, CORNERS)
+    meshes, obj2cls = load_bop_meshes(str(bop_root / "models") + "/")
+    assert obj2cls == {"1": 0}
+    assert len(meshes) == 1
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_bop_sample_contract_and_geometry(bop_root, train):
+    cfg = _cfg(bop_root)
+    ds = BOPPoseDataset(cfg, cfg.data.train_list, train=train)
+    assert len(ds) == 4
+    s = ds.sample(0, seed=1)
+    assert s is not None
+    res = cfg.model.input_res
+    assert s["image"].shape == (res, res, 3) and s["image"].dtype == np.float32
+    assert s["mask"].shape == (res, res)
+    assert s["class_ids"][0] == 0 and s["class_ids"][1] == -1
+
+    # geometric consistency: GT corners projected through the refit pose +
+    # bbox_trans must land inside the crop and inside/near the warped mask bbox
+    Kint = cfg.data.internal_K_np()
+    kp = geo.project_points(Kint, s["rotations"][0], s["translations"][0], CORNERS)
+    kp_crop = geo.apply_affine(s["bbox_trans"], kp)
+    assert kp_crop.min() > -res * 0.3 and kp_crop.max() < res * 1.3
+    ys, xs = np.nonzero(s["mask"] > 0)
+    assert len(xs) > 50
+    # mask centroid close to corner centroid
+    cm = np.array([xs.mean(), ys.mean()])
+    ck = kp_crop.mean(0)
+    assert np.linalg.norm(cm - ck) < res * 0.15, (cm, ck)
+
+
+def test_prefetch_loader_batches(bop_root):
+    cfg = _cfg(bop_root)
+    ds = BOPPoseDataset(cfg, cfg.data.train_list, train=True)
+    loader = PrefetchLoader(ds, batch_size=2, train=True, seed=0)
+    it = iter(loader)
+    batch, metas = next(it)
+    assert batch.images.shape == (2, 128, 128, 3)
+    assert batch.mask.shape == (2, 128, 128)
+    assert len(metas) == 2 and "filename" in metas[0]
+    batch2, _ = next(it)
+    assert batch2.images.shape == (2, 128, 128, 3)

@@ -1,0 +1,133 @@
+"""Distillation / baseline training driver (CLI).
+
+TPU-native equivalent of the reference `train_kd.py` + `arguments/argument_kd.py`:
+one command trains the student with (kd_weight > 0) or without (kd_weight 0)
+a teacher, mirroring every reference flag. `--data synthetic` runs on the
+built-in procedural scenes (the only data available in this image);
+`--data bop` reads a BOP-format dataset from the YAML paths.
+
+Examples (reference train.sh):
+  python train_kd.py --config_file configs/ape.yaml --backbone darknet_tiny_h \
+      --kd_weight 0 --max_iters 10000 --working_dir outputs/baseline/
+  python train_kd.py --config_file configs/ape.yaml --backbone darknet_tiny_h \
+      --backbone_t darknet53 --weight_file_t outputs/teacher/final.ckpt \
+      --kd_weight 5 --max_iters 10000 --working_dir outputs/kd/
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def get_argparser():
+    p = argparse.ArgumentParser()
+    # base flags (reference arguments/argument.py:6-22)
+    p.add_argument("--config_file", type=str, default="./configs/ape.yaml")
+    p.add_argument("--working_dir", type=str, default="./outputs/")
+    p.add_argument("--weight_file", type=str, default="")
+    p.add_argument("--backbone", type=str, default="darknet_tiny_h")
+    p.add_argument("--max_iters", type=int, default=20000)
+    p.add_argument("--base_lr", type=float, default=0.001)
+    p.add_argument("--num_workers", type=int, default=4)
+    # teacher flags (reference arguments/argument_kd.py:32-35)
+    p.add_argument("--config_file_t", type=str, default="")
+    p.add_argument("--backbone_t", type=str, default="darknet53")
+    p.add_argument("--weight_file_t", type=str, default="")
+    # KD flags (reference arguments/argument_kd.py:37-49)
+    p.add_argument("--kd_weight", type=float, default=5.0)
+    p.add_argument("--kd_level", type=str, default="pred")
+    p.add_argument("--gtype", type=str, default="sinkhorn",
+                   choices=["l1", "l2", "sinkhorn", "gaussian", "laplacian", "energy"])
+    p.add_argument("--glevel", type=str, default="point", choices=["point"])
+    p.add_argument("--p", type=float, default=2.0)
+    p.add_argument("--blur", type=float, default=0.001)
+    p.add_argument("--gnD", type=int, default=2)
+    p.add_argument("--weightedOT", type=str2bool, nargs="?", const=True, default=True)
+    p.add_argument("--wot_detach", type=str2bool, nargs="?", const=True, default=False)
+    p.add_argument("--scaling", type=float, default=0.5)
+    p.add_argument("--reach", type=float, default=0.5)
+    # TPU-framework extras
+    p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--n_devices", type=int, default=0, help="0 = all")
+    return p
+
+
+def build_configs(args):
+    from kd6d_pose_adlp_tpu.config import Config, KDConfig, load_yaml_config
+
+    kd = KDConfig(weight=args.kd_weight, level=args.kd_level, gtype=args.gtype,
+                  glevel=args.glevel, p=args.p, blur=args.blur, gn_d=args.gnD,
+                  weighted_ot=args.weightedOT, wot_detach=args.wot_detach,
+                  scaling=args.scaling, reach=args.reach)
+    cfg = load_yaml_config(args.config_file, backbone=args.backbone)
+    cfg = cfg.replace(kd=kd, working_dir=args.working_dir)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        solver=dataclasses.replace(cfg.solver, max_iter=args.max_iters,
+                                   base_lr=args.base_lr))
+    cfg_t = load_yaml_config(args.config_file_t or args.config_file,
+                             backbone=args.backbone_t)
+    cfg_t = cfg_t.replace(kd=kd, model=dataclasses.replace(
+        cfg_t.model, compute_dtype=args.compute_dtype))
+    return cfg, cfg_t
+
+
+def main():
+    args = get_argparser().parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from kd6d_pose_adlp_tpu.data import loaders
+    from kd6d_pose_adlp_tpu.engine import evaluator
+    from kd6d_pose_adlp_tpu.engine.loop import train
+    from kd6d_pose_adlp_tpu.engine.postprocess import build_postprocess
+    from kd6d_pose_adlp_tpu.engine.steps import build_forward
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.parallel.mesh import make_mesh
+    from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
+
+    cfg, cfg_t = build_configs(args)
+    distill = args.kd_weight > 0.0 and args.weight_file_t != "" or (
+        args.kd_weight > 0.0 and args.data == "synthetic")
+
+    data = loaders.build(cfg, kind=args.data)
+    consts = data.consts
+    mesh = make_mesh(args.n_devices or None)
+    n_dev = len(mesh.devices.flatten())
+    print(f"devices: {n_dev} x {jax.devices()[0].device_kind}")
+
+    teacher_variables = None
+    if distill:
+        teacher_net = PoseNet(cfg=cfg_t.model, n_fg=cfg.data.n_fg)
+        t_init = teacher_net.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, cfg_t.model.input_res, cfg_t.model.input_res, 3)))
+        if args.weight_file_t:
+            t_init, n = load_params_loose(args.weight_file_t, t_init)
+            print(f"teacher: loaded {n} tensors from {args.weight_file_t}")
+        teacher_variables = t_init
+
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    forward = build_forward(cfg, net)
+    postprocess = build_postprocess(cfg, consts)
+
+    def eval_fn(state, step):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        evaluator.valid(cfg, consts, variables, forward, postprocess,
+                        data.eval_batches(), data.meshes, step=step,
+                        working_dir=args.working_dir)
+
+    train(cfg, consts, data.train_iter(),
+          cfg_t=cfg_t, teacher_variables=teacher_variables,
+          eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()
