@@ -176,6 +176,7 @@ class KDConfig:
     scaling: float = 0.5
     reach: Optional[float] = 0.5
     max_teacher_cells: int = 64  # fixed-shape cap for teacher voted cells
+    use_pallas: bool = True      # fused TPU kernel for the potential solve
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,10 +62,8 @@ class BOPPoseDataset:
         if self.train:
             M = T.random_ssr_matrix(rng, s.aug_shift, s.aug_scale,
                                     s.aug_rotation, W, H) @ M
-        img = cv2.warpAffine(img, M[:2], (W, H), flags=cv2.INTER_LINEAR,
-                             borderValue=(128, 128, 128))
-        mask = cv2.warpAffine(mask.astype(np.float32), M[:2], (W, H),
-                              flags=cv2.INTER_NEAREST).astype(np.int32)
+        img = T.warp_image(img, M, (W, H), border=(128, 128, 128))
+        mask = T.warp_mask(mask, M, (W, H))
         kp3d_objs = [self.kp3d[c] for c in class_ids]
         Rs, Ts = T.remap_poses(K, Rs, Ts, kp3d_objs, self.internal_K, M)
 
@@ -122,9 +120,8 @@ class BOPPoseDataset:
         scale = min(scale, max(H, W)) * 1.0
         res = cfg.model.input_res
         Mc = geo.dzi_affine(center, scale, res)
-        crop = cv2.warpAffine(img, Mc, (res, res), flags=cv2.INTER_LINEAR)
-        mask_c = cv2.warpAffine(mask.astype(np.float32), Mc, (res, res),
-                                flags=cv2.INTER_NEAREST).astype(np.int32)
+        crop = T.warp_image(img, Mc, (res, res))
+        mask_c = T.warp_mask(mask, Mc, (res, res))
 
         G = s.max_objs
         cls_arr = np.full((G,), -1, np.int32)
@@ -136,7 +133,7 @@ class BOPPoseDataset:
             R_arr[i] = Rs[i]
             T_arr[i] = Ts[i]
         return dict(
-            image=T.normalize(crop), mask=mask_c, class_ids=cls_arr,
+            image=T.normalize_fast(crop), mask=mask_c, class_ids=cls_arr,
             rotations=R_arr, translations=T_arr, bbox_trans=Mc,
             meta=dict(filename=path, K=K, width=w, height=h,
                       class_ids=list(class_ids[:n]),

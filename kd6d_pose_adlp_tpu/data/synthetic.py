@@ -116,19 +116,28 @@ class SyntheticPoseDataset:
 
         kp_crop = geo.apply_affine(M, kp_internal)
 
-        # rasterize instance mask + a learnable rendering
+        # rasterize instance mask + a pose-unambiguous rendering: paint the
+        # 6 faces back-to-front with distinct colors (painter's algorithm),
+        # so orientation is recoverable from appearance (a bare silhouette
+        # of a cuboid is ambiguous up to its symmetry group)
         res = self.input_res
         mask = np.zeros((res, res), np.int32)
         _fill_convex(mask, kp_crop, 1)
         img = rng.uniform(0, 0.15, size=(res, res, 3)).astype(np.float32)
-        m = mask > 0
-        # class-coded color + a left-right shade encoding corner geometry
-        color = np.array([0.3 + 0.04 * cls, 0.9 - 0.04 * cls, 0.5], np.float32)
-        img[m] = color
-        gx = np.linspace(0, 1, res, dtype=np.float32)
-        depth_shade = (kp_crop[:, 0].mean() / res)
-        img[m] += 0.3 * gx[None, :, None].repeat(res, 0)[m] * depth_shade
-        img = np.clip(img, 0, 1)
+        cam = (R @ corners.T + T[:, None]).T               # (8,3) camera frame
+        base = np.array([0.25 + 0.045 * cls, 0.85 - 0.04 * cls, 0.5], np.float32)
+        face_colors = np.stack([np.roll(base, k) * (0.45 + 0.11 * k)
+                                for k in range(6)]).astype(np.float32)
+        # corner index = 4*(x>0) + 2*(y>0) + (z>0)
+        faces = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+        depth = [cam[list(f), 2].mean() for f in faces]
+        fimg = np.zeros((res, res), np.int32)
+        for fi in np.argsort(depth)[::-1]:                 # farthest first
+            _fill_convex(fimg, kp_crop[list(faces[fi])], fi + 1)
+        painted = fimg > 0
+        img[painted] = face_colors[fimg[painted] - 1]
+        img = np.clip(img + rng.normal(0, 0.02, img.shape).astype(np.float32), 0, 1)
 
         G = self.max_objs
         class_ids = np.full((G,), -1, np.int32)

@@ -134,3 +134,34 @@ def normalize(img_bgr: np.ndarray) -> np.ndarray:
     Normalize: /255, ImageNet mean/std)."""
     rgb = img_bgr[:, :, ::-1].astype(np.float32) / 255.0
     return (rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ---- warp dispatchers: native C++ data-plane when available, else cv2 ----
+
+def warp_image(img: np.ndarray, M: np.ndarray, out_wh, border=(0, 0, 0)) -> np.ndarray:
+    from . import native
+    out = native.warp_affine_u8(img, np.asarray(M, np.float64), (out_wh[1], out_wh[0]),
+                                border=border)
+    if out is not None:
+        return out
+    import cv2
+    return cv2.warpAffine(img, np.asarray(M, np.float64)[:2], tuple(out_wh),
+                          flags=cv2.INTER_LINEAR, borderValue=tuple(border))
+
+
+def warp_mask(mask: np.ndarray, M: np.ndarray, out_wh, border: int = 0) -> np.ndarray:
+    from . import native
+    out = native.warp_affine_i32(mask.astype(np.int32), np.asarray(M, np.float64),
+                                 (out_wh[1], out_wh[0]), border=border)
+    if out is not None:
+        return out
+    import cv2
+    return cv2.warpAffine(mask.astype(np.float32), np.asarray(M, np.float64)[:2],
+                          tuple(out_wh), flags=cv2.INTER_NEAREST,
+                          borderValue=border).astype(np.int32)
+
+
+def normalize_fast(img_bgr: np.ndarray) -> np.ndarray:
+    from . import native
+    out = native.normalize_bgr_u8(img_bgr, IMAGENET_MEAN, IMAGENET_STD)
+    return out if out is not None else normalize(img_bgr)

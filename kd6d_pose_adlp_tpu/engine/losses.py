@@ -164,9 +164,15 @@ def kd_ot_loss(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
     a = jnp.broadcast_to(s_w_safe[:, None, :], x.shape[:3])
     b = jnp.broadcast_to(t_w_safe[:, None, :], y.shape[:3])
 
-    per_k = batched_samples_loss(
-        x, y, a, b, gtype=kd.gtype, p=kd.p, blur=kd.blur,
-        scaling=kd.scaling, reach=kd.reach, diameter=2.0)          # (B,8)
+    if kd.gtype == "sinkhorn" and kd.use_pallas and jax.default_backend() == "tpu":
+        from ..ops.sinkhorn_pallas import sinkhorn_divergence_pallas
+        per_k = sinkhorn_divergence_pallas(
+            x, y, a, b, p=kd.p, blur=kd.blur, scaling=kd.scaling,
+            reach=kd.reach, diameter=2.0)                          # (B,8)
+    else:
+        per_k = batched_samples_loss(
+            x, y, a, b, gtype=kd.gtype, p=kd.p, blur=kd.blur,
+            scaling=kd.scaling, reach=kd.reach, diameter=2.0)      # (B,8)
     per_img = per_k.sum(-1)                                        # (B,)
     n_valid = jnp.maximum(img_valid.sum(), 1)
     return (per_img * img_valid).sum() / n_valid

@@ -35,15 +35,26 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch Conv2d(padding=1): symmetric. Equal to XLA SAME at stride 1,
+        # but at stride 2 SAME pads asymmetrically (end-only) — use explicit
+        # symmetric padding so downsampling windows match torch exactly.
+        if self.kernel_size == 1:
+            padding = "VALID"
+        elif self.strides == 1:
+            padding = "SAME"
+        else:
+            pad = self.kernel_size // 2
+            padding = ((pad, pad), (pad, pad))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding="SAME" if self.kernel_size > 1 else "VALID",
+            padding=padding,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=kaiming_uniform,
+            name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -51,6 +62,7 @@ class ConvBNAct(nn.Module):
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            name="bn",
         )(x)
         if self.use_act:
             x = leaky_relu(x, self.alpha)

@@ -46,7 +46,8 @@ class DarkNet(nn.Module):
                 # odd_pointwise (reference backbone/darknet.py:88-92)
                 pointwise = (len(stage) > 1) and not (((j + 1) % 2 == 1) ^ odd_pointwise)
                 x = ConvBNAct(feats, kernel_size=1 if pointwise else 3,
-                              alpha=self.alpha, dtype=self.dtype)(x, train=train)
+                              alpha=self.alpha, dtype=self.dtype,
+                              name=f"stage{si + 1}_unit{j + 1}")(x, train=train)
             outs.append(x)
             if si != len(channels) - 1:
                 x = max_pool_2x2(x)
@@ -54,7 +55,8 @@ class DarkNet(nn.Module):
         if self.include_head:
             logits = nn.Conv(self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
                              param_dtype=jnp.float32,
-                             kernel_init=nn.initializers.normal(0.01))(x)
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="final_conv")(x)
             return jnp.mean(logits, axis=(1, 2))
 
         # pyramid maps after each pool boundary: out_i = stage_i output pooled

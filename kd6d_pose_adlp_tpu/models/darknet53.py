@@ -27,9 +27,9 @@ class DarkUnit(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         x = ConvBNAct(self.features // 2, kernel_size=1, alpha=self.alpha,
-                      dtype=self.dtype)(x, train=train)
+                      dtype=self.dtype, name="conv1")(x, train=train)
         x = ConvBNAct(self.features, kernel_size=3, alpha=self.alpha,
-                      dtype=self.dtype)(x, train=train)
+                      dtype=self.dtype, name="conv2")(x, train=train)
         return x + identity
 
 
@@ -41,17 +41,21 @@ class DarkNet53(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNAct(32, kernel_size=3, alpha=self.alpha, dtype=self.dtype)(x, train=train)
+        x = ConvBNAct(32, kernel_size=3, alpha=self.alpha, dtype=self.dtype,
+                      name="init_block")(x, train=train)
         outs = []
-        for n_units, feats in zip(LAYERS, CHANNELS):
+        for si, (n_units, feats) in enumerate(zip(LAYERS, CHANNELS)):
             x = ConvBNAct(feats, kernel_size=3, strides=2, alpha=self.alpha,
-                          dtype=self.dtype)(x, train=train)
-            for _ in range(n_units - 1):
-                x = DarkUnit(feats, alpha=self.alpha, dtype=self.dtype)(x, train=train)
+                          dtype=self.dtype,
+                          name=f"stage{si + 1}_unit1")(x, train=train)
+            for j in range(n_units - 1):
+                x = DarkUnit(feats, alpha=self.alpha, dtype=self.dtype,
+                             name=f"stage{si + 1}_unit{j + 2}")(x, train=train)
             outs.append(x)
         if self.include_head:
             pooled = jnp.mean(x, axis=(1, 2))
-            return nn.Dense(self.n_classes, dtype=self.dtype, param_dtype=jnp.float32)(pooled)
+            return nn.Dense(self.n_classes, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="output")(pooled)
         return outs
 
 

@@ -46,10 +46,13 @@ class FPN(nn.Module):
             outs.insert(0, conv(3, f"out{i}")(inner))
 
         if self.use_p6p7:
-            p6 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2), padding="SAME",
+            # symmetric padding to match torch Conv2d(stride=2, padding=1)
+            p6 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
                          kernel_init=kaiming_uniform_a1, name="p6")(outs[-1])
-            p7 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2), padding="SAME",
+            p7 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
                          kernel_init=kaiming_uniform_a1, name="p7")(nn.relu(p6))
             outs.extend([p6, p7])

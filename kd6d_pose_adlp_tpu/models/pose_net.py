@@ -21,13 +21,13 @@ from .fpn import FPN
 from .head import PoseHead
 
 
-def make_backbone(cfg: ModelConfig, dtype=jnp.float32):
+def make_backbone(cfg: ModelConfig, dtype=jnp.float32, name: str = "backbone"):
     if cfg.backbone == "darknet53":
-        return DarkNet53(dtype=dtype)
+        return DarkNet53(dtype=dtype, name=name)
     if cfg.backbone == "darknet_tiny":
-        return DarkNet(version="tiny", dtype=dtype)
+        return DarkNet(version="tiny", dtype=dtype, name=name)
     if cfg.backbone == "darknet_tiny_h":
-        return DarkNet(version="tiny-h", dtype=dtype)
+        return DarkNet(version="tiny-h", dtype=dtype, name=name)
     raise ValueError(f"Unsupported backbone {cfg.backbone}")
 
 
@@ -39,14 +39,14 @@ class PoseNet(nn.Module):
     def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images (B, H, W, 3) -> (cls (B, A, n_fg), reg (B, A, n_fg*16)), f32."""
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        backbone = make_backbone(self.cfg, dtype=dtype)
+        backbone = make_backbone(self.cfg, dtype=dtype, name="backbone")
         feats = backbone(images.astype(dtype), train=train)
         fpn = FPN(in_channels=self.cfg.feat_channels, out_channel=self.cfg.out_channel,
-                  use_p6p7=self.cfg.use_higher_levels, dtype=dtype)
+                  use_p6p7=self.cfg.use_higher_levels, dtype=dtype, name="fpn")
         pyramid = fpn(feats)
         assert len(pyramid) == self.cfg.num_levels
         head = PoseHead(n_fg=self.n_fg, n_conv=self.cfg.n_conv, prior=self.cfg.prior,
-                        n_levels=max(5, self.cfg.num_levels), dtype=dtype)
+                        n_levels=max(5, self.cfg.num_levels), dtype=dtype, name="head")
         logits, pose_reg = head(pyramid)
 
         B = images.shape[0]

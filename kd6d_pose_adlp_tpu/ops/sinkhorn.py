@@ -60,6 +60,13 @@ def epsilon_schedule(p: float, diameter: float, blur: float, scaling: float) -> 
     return tuple(eps_list)
 
 
+def _safe_log_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """log(w) with exactly-zero padding weights mapped to -1e30, written with
+    the double-where pattern so the gradient at w == 0 is 0, not NaN."""
+    w_safe = jnp.where(w > 0, w, 1.0)
+    return jnp.where(w > 0, jnp.log(w_safe), _NEG_BIG)
+
+
 def _softmin(eps: float, C: jnp.ndarray, h_log: jnp.ndarray) -> jnp.ndarray:
     """f_i = -eps * logsumexp_j (h_log_j - C_ij/eps); h_log already includes
     log-weights (padded points carry h_log ~ -1e30 and vanish)."""
@@ -83,8 +90,8 @@ def sinkhorn_divergence(x: jnp.ndarray, y: jnp.ndarray,
     rho = None if reach is None else float(reach) ** p
     eps_list = epsilon_schedule(p, diameter, blur, scaling)
 
-    a_log = jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-38)), _NEG_BIG)
-    b_log = jnp.where(b > 0, jnp.log(jnp.maximum(b, 1e-38)), _NEG_BIG)
+    a_log = _safe_log_weights(a)
+    b_log = _safe_log_weights(b)
 
     # potentials are solved with gradients off; the value re-attaches gradients
     # through one extrapolation step (geomloss's envelope-theorem trick)

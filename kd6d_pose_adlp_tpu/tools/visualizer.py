@@ -1,0 +1,84 @@
+"""Visualization: KD point-cloud scatters and pose overlays.
+
+Equivalents of the reference's `tools/visualizer.py` (student-vs-teacher OT
+cloud scatter plots, point size ~ weight, saved every N steps) and the
+drawing helpers in `libs/utils.py` (3D bounding box / pose axes overlays).
+All host-side and optional (matplotlib / cv2 guarded)."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def vis_kd_clouds(student_xy: np.ndarray, teacher_xy: np.ndarray,
+                  student_w: Optional[np.ndarray], teacher_w: Optional[np.ndarray],
+                  step: int, save_dir: str, loss: Optional[float] = None) -> Optional[str]:
+    """Scatter of student (green) vs teacher (red) keypoint clouds for one
+    image; point size proportional to OT weight (reference
+    tools/visualizer.py:5-100). Returns the saved path."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    os.makedirs(save_dir, exist_ok=True)
+    s = np.asarray(student_xy).reshape(-1, 2)
+    t = np.asarray(teacher_xy).reshape(-1, 2)
+    sw = (np.asarray(student_w).reshape(-1) if student_w is not None
+          else np.ones(len(s)))
+    tw = (np.asarray(teacher_w).reshape(-1) if teacher_w is not None
+          else np.ones(len(t)))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.scatter(s[:, 0], s[:, 1], s=10 + 200 * sw / (sw.max() + 1e-9),
+               c="green", alpha=0.5, label="student")
+    ax.scatter(t[:, 0], t[:, 1], s=10 + 200 * tw / (tw.max() + 1e-9),
+               c="red", alpha=0.5, label="teacher")
+    ax.invert_yaxis()
+    ax.legend()
+    title = f"step {step}"
+    if loss is not None:
+        title += f"  kd_loss={loss:.4f}"
+    ax.set_title(title)
+    path = os.path.join(save_dir, f"{step}_img_2d.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def draw_bounding_box(img: np.ndarray, R, T, corners3d, K,
+                      color=(0, 255, 0), bbox_trans=None) -> np.ndarray:
+    """Draw the projected 3D bbox wireframe (reference libs/utils.py drawing
+    helpers). Corner ordering: binary over (x, y, z)."""
+    import cv2
+    from ..utils import geometry as geo
+    pts = geo.project_points(np.asarray(K), np.asarray(R), np.asarray(T),
+                             np.asarray(corners3d))
+    if bbox_trans is not None:
+        pts = geo.apply_affine(np.asarray(bbox_trans), pts)
+    pts = pts.astype(int)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    out = img.copy()
+    for a, b in edges:
+        cv2.line(out, tuple(pts[a]), tuple(pts[b]), color, 2)
+    return out
+
+
+def draw_pose_axes(img: np.ndarray, R, T, K, length: float = 50.0,
+                   bbox_trans=None) -> np.ndarray:
+    """Draw the object coordinate axes (x red, y green, z blue)."""
+    import cv2
+    from ..utils import geometry as geo
+    pts3d = np.array([[0, 0, 0], [length, 0, 0], [0, length, 0], [0, 0, length]],
+                     np.float32)
+    pts = geo.project_points(np.asarray(K), np.asarray(R), np.asarray(T), pts3d)
+    if bbox_trans is not None:
+        pts = geo.apply_affine(np.asarray(bbox_trans), pts)
+    pts = pts.astype(int)
+    out = img.copy()
+    for i, color in ((1, (0, 0, 255)), (2, (0, 255, 0)), (3, (255, 0, 0))):
+        cv2.line(out, tuple(pts[0]), tuple(pts[i]), color, 2)
+    return out

@@ -1,0 +1,61 @@
+"""Pallas Sinkhorn kernel vs pure-JAX reference (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kd6d_pose_adlp_tpu.ops import sinkhorn as sk
+from kd6d_pose_adlp_tpu.ops.sinkhorn_pallas import sinkhorn_divergence_pallas
+
+
+def _clouds(seed, N=5, P=16, T=24, empty_pad=True):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, size=(N, P, 2)).astype(np.float32)
+    y = rng.uniform(0, 1, size=(N, T, 2)).astype(np.float32)
+    a = rng.uniform(0.1, 1.0, size=(N, P)).astype(np.float32)
+    b = rng.uniform(0.1, 1.0, size=(N, T)).astype(np.float32)
+    if empty_pad:
+        a[:, P // 2:] = 0.0   # realistic zero-weight padding
+        b[:, T - 4:] = 0.0
+    return map(jnp.asarray, (x, y, a, b))
+
+
+def test_pallas_matches_pure_jax_values():
+    x, y, a, b = _clouds(0)
+    ref = sk.batched_samples_loss(x, y, a, b, gtype="sinkhorn")
+    got = sinkhorn_divergence_pallas(x, y, a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_matches_balanced_and_nondebias():
+    x, y, a, b = _clouds(1)
+    for reach in (None, 0.5):
+        ref = jax.vmap(lambda *t: sk.sinkhorn_divergence(*t, reach=reach))(x, y, a, b)
+        got = sinkhorn_divergence_pallas(x, y, a, b, reach=reach, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_gradients_match():
+    x, y, a, b = _clouds(2, N=3)
+
+    def loss_ref(x_, a_):
+        return sk.batched_samples_loss(x_, y, a_, b, gtype="sinkhorn").sum()
+
+    def loss_pal(x_, a_):
+        return sinkhorn_divergence_pallas(x_, y, a_, b, interpret=True).sum()
+
+    gx_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(x, a)
+    gx_p, ga_p = jax.grad(loss_pal, argnums=(0, 1))(x, a)
+    # weight gradients agree to float noise
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_r),
+                               rtol=1e-4, atol=1e-6)
+    assert np.isfinite(np.asarray(ga_p)).all()
+    # point gradients: at blur=1e-3 (eps=1e-6) the plan is near-one-hot, so
+    # float-noise potential differences shift near-tied assignments; require
+    # directional agreement rather than elementwise equality
+    r = np.asarray(gx_r).reshape(-1)
+    p_ = np.asarray(gx_p).reshape(-1)
+    cos = r @ p_ / (np.linalg.norm(r) * np.linalg.norm(p_) + 1e-12)
+    assert cos > 0.995, cos
+    assert abs(np.linalg.norm(p_) / np.linalg.norm(r) - 1) < 0.05
