@@ -32,6 +32,7 @@ class BOPPoseDataset:
         self.kp3d = load_bbox_3d(cfg.data.bbox_file)
         self.sym = cfg.data.symmetry_dict()
         self.internal_K = cfg.data.internal_K_np()
+        self.backgrounds = T.BackgroundBank(cfg.solver.aug_background_dir)
 
     def __len__(self):
         return len(self.images)
@@ -69,8 +70,11 @@ class BOPPoseDataset:
 
         # pixel-level augmentations (train only)
         if self.train:
+            img = self.backgrounds(img, mask, rng)
             if s.aug_color_h or s.aug_color_s or s.aug_color_v:
                 img = T.distort_hsv(img, rng, s.aug_color_h, s.aug_color_s, s.aug_color_v)
+            if s.aug_sharpen > 0:
+                img = T.pencil_sharpen(img, rng, s.aug_sharpen)
             if s.aug_noise > 0:
                 img = T.distort_noise(img, rng, s.aug_noise)
             if s.aug_smooth > 0:

@@ -13,6 +13,7 @@ equivalent up to interpolation.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -121,6 +122,57 @@ def random_occlusion(img: np.ndarray, mask: np.ndarray, rng,
     img[oy:oy + h, ox:ox + w] = rng.integers(0, 256, (h, w, img.shape[2]))
     mask[oy:oy + h, ox:ox + w] = -1
     return img, mask
+
+
+def pencil_sharpen(img: np.ndarray, rng, prob: float) -> np.ndarray:
+    """Edge-boost aug (reference libs/transform.py RandomPencilSharpen):
+    blur, derive an edge image (ratio or difference), min-max normalize,
+    alpha-blend back."""
+    import cv2
+    if rng.random() >= prob:
+        return img
+    ks = int(rng.choice([5, 7, 9, 11]))
+    blurred = cv2.blur(img, (ks, ks)).astype(np.float32)
+    if rng.random() < 0.5:
+        edge = img / (blurred + 0.01)
+    else:
+        edge = img - blurred
+    edge = cv2.normalize(edge, None, alpha=0, beta=255,
+                         norm_type=cv2.NORM_MINMAX).astype(np.uint8)
+    alpha = rng.uniform(0.5, 0.95)
+    out = img * (1 - alpha) + edge * alpha
+    return cv2.normalize(out, None, alpha=0, beta=255,
+                         norm_type=cv2.NORM_MINMAX).astype(np.uint8)
+
+
+class BackgroundBank:
+    """Random background replacement (reference libs/transform.py
+    RandomBackground): with p=0.5 the pixels outside the instance mask are
+    swapped for a random image from a directory."""
+
+    def __init__(self, background_dir: Optional[str]):
+        self.files = []
+        if background_dir and os.path.isdir(background_dir):
+            self.files = [os.path.join(background_dir, f)
+                          for f in sorted(os.listdir(background_dir))
+                          if f.endswith((".png", ".jpg"))]
+
+    def __call__(self, img: np.ndarray, mask: np.ndarray, rng) -> np.ndarray:
+        if not self.files or rng.random() < 0.5:
+            return img
+        import cv2
+        bg = None
+        for _ in range(4):
+            bg = cv2.imread(self.files[int(rng.integers(0, len(self.files)))])
+            if bg is not None:
+                break
+        if bg is None:
+            return img
+        bg = cv2.resize(bg, (img.shape[1], img.shape[0]))
+        out = img.copy()
+        keep = mask > 0
+        out[~keep] = bg[~keep]
+        return out
 
 
 def grayscalize(img: np.ndarray) -> np.ndarray:

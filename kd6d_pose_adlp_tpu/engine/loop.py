@@ -39,6 +39,7 @@ def train(cfg: Config,
           mesh=None,
           resume: bool = True,
           log_every: int = 10,
+          vis_every: int = 0,
           verbose: bool = True) -> TrainState:
     """Runs the full schedule; returns the final TrainState.
 
@@ -72,6 +73,11 @@ def train(cfg: Config,
                                distill=distill)
     donated = jax.jit(step_fn, donate_argnums=(0,))
 
+    kd_debug = None
+    if vis_every > 0 and distill:
+        from .steps import build_kd_debug
+        kd_debug = build_kd_debug(cfg, cfg_t, consts, net, teacher_net)
+
     if mesh is not None:
         state = replicate(state, mesh)
         if teacher_variables is not None:
@@ -101,6 +107,15 @@ def train(cfg: Config,
                 print(f"step {step}/{cfg.solver.max_iter} "
                       f"cls {m['loss_cls']:.4f} reg {m['loss_reg']:.4f} "
                       f"kd {m['loss_kd']:.4f} ips {m['images_per_sec']:.1f}")
+
+        if kd_debug is not None and (step == 1 or step % vis_every == 0):
+            from ..tools.visualizer import vis_kd_clouds
+            x, yv, a, b, ok = jax.device_get(kd_debug(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                teacher_variables, batch, rng))
+            idx = int(np.argmax(ok)) if ok.any() else 0
+            vis_kd_clouds(x[idx], yv[idx], a[idx], b[idx], step,
+                          os.path.join(working_dir, "vis"))
 
         if step % cfg.solver.val_freq == 0 or step == cfg.solver.max_iter:
             if eval_fn is not None:

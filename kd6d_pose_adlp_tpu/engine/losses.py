@@ -109,19 +109,11 @@ def pose_losses(rng: jax.Array,
                    num_pos=num_pos)
 
 
-def kd_ot_loss(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
-               w: float = 640.0, h: float = 480.0) -> jnp.ndarray:
-    """Distribution-alignment OT loss (reference losses/kd_loss.py:40-109 +
-    losses/loss_libs.py): per image and per keypoint index k, a weighted
-    Sinkhorn divergence between the student's positive-cell keypoint cloud and
-    the teacher's voted-cell cloud, both in the normalized internal frame.
-
-    Student weights = clamped sigmoid cls score of the cell's own class
-    (optionally stop-gradient); teacher weights = sigmoid score of the voted
-    cell (the reference stores sqrt(score) and squares it back,
-    postprocess_kd.py:57 + kd_loss.py:82). Images with an empty cloud on
-    either side are skipped from the mean.
-    """
+def build_kd_clouds(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
+                    w: float = 640.0, h: float = 480.0):
+    """Student/teacher point clouds + weights for the OT loss (and for the
+    cloud visualizer). Returns (x (B,8,P,2), y (B,8,T,2), a (B,8,P),
+    b (B,8,T), img_valid (B,)) in the normalized internal frame."""
     kd = cfg.kd
     B, A = tgt.pos_mask.shape
     P = cfg.solver.max_pos
@@ -163,6 +155,25 @@ def kd_ot_loss(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
     y = jnp.swapaxes(t_xy, 1, 2)                                  # (B,8,T,2)
     a = jnp.broadcast_to(s_w_safe[:, None, :], x.shape[:3])
     b = jnp.broadcast_to(t_w_safe[:, None, :], y.shape[:3])
+    return x, y, a, b, img_valid
+
+
+def kd_ot_loss(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
+               w: float = 640.0, h: float = 480.0) -> jnp.ndarray:
+    """Distribution-alignment OT loss (reference losses/kd_loss.py:40-109 +
+    losses/loss_libs.py): per image and per keypoint index k, a weighted
+    Sinkhorn divergence between the student's positive-cell keypoint cloud and
+    the teacher's voted-cell cloud, both in the normalized internal frame.
+
+    Student weights = clamped sigmoid cls score of the cell's own class
+    (optionally stop-gradient); teacher weights = sigmoid score of the voted
+    cell (the reference stores sqrt(score) and squares it back,
+    postprocess_kd.py:57 + kd_loss.py:82). Images with an empty cloud on
+    either side are skipped from the mean.
+    """
+    kd = cfg.kd
+    x, y, a, b, img_valid = build_kd_clouds(cls_logits, pred_xy, tgt, votes,
+                                            cfg, w=w, h=h)
 
     if kd.gtype == "sinkhorn" and kd.use_pallas and jax.default_backend() == "tpu":
         from ..ops.sinkhorn_pallas import sinkhorn_divergence_pallas

@@ -137,6 +137,38 @@ def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
     return step_fn
 
 
+def build_kd_debug(cfg: Config, cfg_t: Config, consts: TaskConsts,
+                   net: PoseNet, teacher_net: PoseNet):
+    """Jitted extractor of the OT point clouds for visualization (the
+    reference plots them from inside the loss every 1000 steps,
+    losses/kd_loss.py:88-97). Returns (x, y, a, b, img_valid) for a batch."""
+    from .losses import build_kd_clouds, prepare_targets
+    from ..models import anchors as anchor_lib
+    from ..models import coder
+    from ..ops.object_space import select_class_pred
+
+    w_img, h_img = float(cfg.data.internal_width), float(cfg.data.internal_height)
+
+    @jax.jit
+    def debug_fn(variables, teacher_vars, batch: Batch, rng):
+        t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
+        votes = teacher_knowledge(t_cls, t_reg, batch, cfg_t,
+                                  cfg.kd.max_teacher_cells)
+        cls_logits, pred_reg = net.apply(variables, batch.images, train=False)
+        tgt = prepare_targets(rng, batch, consts, cfg)
+        anchors = jnp.asarray(anchor_lib.make_anchors(
+            cfg.model.input_res, cfg.model.level_strides, cfg.model.level_sizes))
+        pred16 = select_class_pred(pred_reg, tgt.cls_idx)
+        inv_bt = coder.invert_bbox_trans(batch.bbox_trans)
+        pred_xy = coder.decode(pred16, anchors, inv_bt[:, None])
+        return build_kd_clouds(cls_logits, pred_xy, tgt,
+                               Votes(kp2d=votes.kp2d, score=votes.score,
+                                     valid=votes.valid, box_size=votes.box_size),
+                               cfg, w=w_img, h=h_img)
+
+    return debug_fn
+
+
 def build_forward(cfg: Config, net: PoseNet):
     """Plain eval-mode forward producing flat (cls, reg)."""
 

@@ -43,3 +43,14 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def gather_eval_pytree(tree):
+    """Multi-host gather of fixed-shape eval arrays (replaces the reference's
+    pickle-over-ByteTensor `all_gather`, libs/distributed.py:44-76). On a
+    single process this is the identity; on multi-host it concatenates the
+    per-process leading axes via `multihost_utils.process_allgather`."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree)

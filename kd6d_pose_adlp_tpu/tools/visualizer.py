@@ -48,6 +48,40 @@ def vis_kd_clouds(student_xy: np.ndarray, teacher_xy: np.ndarray,
     return path
 
 
+def vis_accuracy_per_depth(results: dict, save_path: str) -> Optional[str]:
+    """2D/3D success-rate vs depth-bin curves (reference
+    libs/utils.py:565-618 visualize_accuracy_per_depth)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    adi = results.get("adi_per_depth", [])
+    rep = results.get("rep_per_depth", [])
+    lo, hi = results.get("depth_range", [0, 1])
+    bins = max(len(adi), 1)
+    xs = np.arange(lo, hi, (hi - lo) / bins)[:bins]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
+    keys_rep = sorted({k for d in rep for k in d})
+    keys_adi = sorted({k for d in adi for k in d})
+    for k in keys_rep:
+        ax1.plot(xs, [d.get(k, 0.0) for d in rep], marker="o", label=k)
+    for k in keys_adi:
+        ax2.plot(xs, [d.get(k, 0.0) for d in adi], marker="o", label=k)
+    ax1.set_title("2D error vs depth")
+    ax2.set_title("3D error vs depth")
+    for ax in (ax1, ax2):
+        ax.set_xlabel("depth (mm)")
+        ax.grid(True)
+        ax.legend(fontsize=7)
+    ax1.set_ylabel("success rate (%)")
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
 def draw_bounding_box(img: np.ndarray, R, T, corners3d, K,
                       color=(0, 255, 0), bbox_trans=None) -> np.ndarray:
     """Draw the projected 3D bbox wireframe (reference libs/utils.py drawing

@@ -34,6 +34,9 @@ def main():
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
     from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
 
+    if not os.path.exists(args.weight_file):
+        raise SystemExit(f"error: --weight_file not found: {args.weight_file}")
+
     cfg = load_yaml_config(args.config_file, backbone=args.backbone)
     if args.test_file:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, test_list=args.test_file,

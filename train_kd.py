@@ -56,6 +56,8 @@ def get_argparser():
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n_devices", type=int, default=0, help="0 = all")
+    p.add_argument("--vis_every", type=int, default=1000,
+                   help="KD cloud scatter dump cadence (0 = off)")
     return p
 
 
@@ -94,10 +96,14 @@ def main():
     from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
 
     cfg, cfg_t = build_configs(args)
-    distill = args.kd_weight > 0.0 and args.weight_file_t != "" or (
-        args.kd_weight > 0.0 and args.data == "synthetic")
+    # distillation needs a positive weight and a teacher; synthetic mode
+    # allows an untrained (random) teacher for pipeline exercises
+    distill = args.kd_weight > 0.0 and (
+        args.weight_file_t != "" or args.data == "synthetic")
 
     data = loaders.build(cfg, kind=args.data)
+    if args.data == "synthetic" and hasattr(data, "cfg"):
+        cfg = data.cfg  # synthetic mesh diameters replace the yaml's LINEMOD ones
     consts = data.consts
     mesh = make_mesh(args.n_devices or None)
     n_dev = len(mesh.devices.flatten())
@@ -126,7 +132,8 @@ def main():
 
     train(cfg, consts, data.train_iter(),
           cfg_t=cfg_t, teacher_variables=teacher_variables,
-          eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh)
+          eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh,
+          vis_every=args.vis_every)
 
 
 if __name__ == "__main__":
