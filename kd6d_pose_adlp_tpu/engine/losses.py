@@ -54,13 +54,11 @@ def prepare_targets(rng: jax.Array, batch: Batch, consts: TaskConsts,
                               precision=_hp)
                    + batch.translations[:, :, None, :])           # (B,G,8,3)
 
-    take = lambda x: jnp.take_along_axis(
-        x, matched[:, :, None, None].astype(jnp.int32), axis=1)
     kp3d_cam = jnp.take_along_axis(
         kp3d_cam_gt, matched[..., None, None], axis=1)
     kp2d_tgt = jnp.take_along_axis(kp2d_gt, matched[..., None, None], axis=1)
-    cls_idx = jnp.take_along_axis(jnp.clip(batch.class_ids, 0), matched, axis=1)
-    del take, valid_gt
+    cls_idx = jnp.take_along_axis(cls_safe, matched, axis=1)
+    del valid_gt
     return Targets(labels=labels, cls_idx=cls_idx, kp3d_cam=kp3d_cam,
                    kp2d_tgt=kp2d_tgt, pos_mask=labels > 0)
 

@@ -97,7 +97,6 @@ def ssc_assign(rng: jax.Array,
     r = jax.random.uniform(rng, (B, A, G))
     r = jnp.where(cand, r, INF)
 
-    level_id = jnp.asarray(anchor_lib.level_ids(input_res, strides))
     slices = anchor_lib.level_slices(input_res, strides)
 
     selected = jnp.zeros((B, A, G), bool)
@@ -114,5 +113,4 @@ def ssc_assign(rng: jax.Array,
     matched_cls = jnp.take_along_axis(class_ids, matched_gt, axis=1)  # (B, A)
     labels = jnp.where(is_pos, matched_cls + 1,
                        jnp.where(in_any_mask, -1, 0)).astype(jnp.int32)
-    del level_id
     return labels, matched_gt

@@ -32,8 +32,6 @@ def test_vote_cells_respects_threshold_and_quota():
     pred16 = np.zeros((1, A, 16), np.float32)
     anchors = anchor_lib.make_anchors(RES, STRIDES, SIZES_ALL[:2])
     kp = np.array([[10, 10], [50, 10], [50, 50], [10, 50]] * 2, np.float32)
-    enc = np.asarray(coder.encode(jnp.asarray(kp)[None], jnp.asarray(anchors)[:, None][...,0,:]))
-    # encode per anchor
     enc_all = np.asarray(coder.encode(
         jnp.broadcast_to(jnp.asarray(kp)[None], (A, 8, 2)), jnp.asarray(anchors)))
     pred16[0] = enc_all
@@ -48,7 +46,7 @@ def test_vote_cells_respects_threshold_and_quota():
     # quota: nk for boxSize=span(kp)=40+... vs level sizes over the FULL list
     span = max(kp[:, 0].max() - kp[:, 0].min(), kp[:, 1].max() - kp[:, 1].min())
     nk = np.asarray(level_quotas(jnp.asarray([[span]]), SIZES_ALL, 10, 1.0))[0, :, 0]
-    n_lvl0 = int(v[:16].sum()) if False else int(v.sum())
+    n_lvl0 = int(v.sum())
     assert n_lvl0 <= nk[0] + nk[1]
     assert float(np.asarray(votes.box_size[0])) > 0
 
