@@ -6,6 +6,11 @@ batch and at a larger batch to show MXU-utilization headroom.
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -6,6 +6,11 @@ pool of pre-rendered batches is cycled (1024 train images — same order of
 magnitude as a LINEMOD class train split)."""
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import itertools
 import json
