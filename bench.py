@@ -60,11 +60,10 @@ def main():
     step_fn = jax.jit(build_train_step(cfg, cfg_t, consts, net, teacher_net,
                                        opt, distill=True), donate_argnums=(0,))
 
-    # FLOP count of the compiled step for the V100-derived baseline
-    lowered = jax.jit(build_train_step(cfg, cfg_t, consts, net, teacher_net,
-                                       opt, distill=True)).lower(
-        state, t_vars, batch, jax.random.PRNGKey(2))
+    # FLOP count of the compiled step for the V100-derived baseline; the AOT
+    # lowering shares the jit cache, so this is the only compilation
     try:
+        lowered = step_fn.lower(state, t_vars, batch, jax.random.PRNGKey(2))
         flops_per_step = float(lowered.compile().cost_analysis()["flops"])
     except Exception:
         flops_per_step = float("nan")

@@ -124,6 +124,16 @@ def main():
     forward = build_forward(cfg, net)
     postprocess = build_postprocess(cfg, consts)
 
+    if distill and args.weight_file_t:
+        # teacher sanity gate (reference train_kd.py:85-86)
+        print("--- evaluate teacher ---")
+        t_forward = build_forward(cfg_t, teacher_net)
+        t_post = build_postprocess(cfg_t.replace(
+            test=cfg.test, solver=cfg_t.solver), consts)
+        evaluator.valid(cfg, consts, teacher_variables, t_forward, t_post,
+                        data.eval_batches(), data.meshes, step=0,
+                        working_dir=args.working_dir)
+
     def eval_fn(state, step):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         evaluator.valid(cfg, consts, variables, forward, postprocess,
