@@ -57,6 +57,14 @@ class BOPPoseDataset:
             return None
         h, w = img.shape[:2]
         W, H = cfg.data.internal_width, cfg.data.internal_height
+        # eval meta must carry the RAW-frame annotation (reference keeps the
+        # original K/R/T in preds.json meta; predictions get remapped back to
+        # this frame by the evaluator) — symmetry-canonicalized like the GT
+        raw = dict(K=K.copy(), class_ids=list(class_ids),
+                   rotations=[geo.pose_symmetry_handling(R, self.sym[c])
+                              if c in self.sym else np.asarray(R, np.float32)
+                              for R, c in zip(Rs, class_ids)],
+                   translations=[np.asarray(t, np.float32).reshape(3) for t in Ts])
 
         # one combined affine: internal-frame fit (+ train-time SSR aug)
         M = T.internal_frame_matrix(w, h, W, H)
@@ -139,10 +147,10 @@ class BOPPoseDataset:
         return dict(
             image=T.normalize_fast(crop), mask=mask_c, class_ids=cls_arr,
             rotations=R_arr, translations=T_arr, bbox_trans=Mc,
-            meta=dict(filename=path, K=K, width=w, height=h,
-                      class_ids=list(class_ids[:n]),
-                      rotations=[np.asarray(r) for r in Rs[:n]],
-                      translations=[np.asarray(t) for t in Ts[:n]]))
+            meta=dict(filename=path, K=raw["K"], width=w, height=h,
+                      class_ids=raw["class_ids"],
+                      rotations=raw["rotations"],
+                      translations=raw["translations"]))
 
 
 def collate(samples: List[Dict]) -> Batch:
@@ -167,17 +175,17 @@ class PrefetchLoader:
         self.num_threads = max(num_threads, 1)
         self.depth = depth
 
-    def _make_batch(self, epoch: int, start: int):
-        rng = np.random.default_rng(epoch * 7919 + start)
+    def _make_batch(self, epoch: int, indices):
+        """Build one batch from the given dataset indices; failed samples are
+        redrawn uniformly like the reference (libs/dataset.py:64-70)."""
+        rng = np.random.default_rng(epoch * 7919 + int(indices[0]))
         samples = []
-        idx = start
+        pending = list(indices)
         while len(samples) < self.bs:
-            s = self.ds.sample(idx % len(self.ds), seed=self.seed + epoch)
-            if s is None:
-                idx = int(rng.integers(0, len(self.ds)))
-                continue
-            samples.append(s)
-            idx += 1
+            idx = pending.pop(0) if pending else int(rng.integers(0, len(self.ds)))
+            s = self.ds.sample(int(idx) % len(self.ds), seed=self.seed + epoch)
+            if s is not None:
+                samples.append(s)
         return collate(samples), [s["meta"] for s in samples]
 
     def __iter__(self):
@@ -189,8 +197,10 @@ class PrefetchLoader:
             order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
                 if self.train else np.arange(len(self.ds))
             while not stop.is_set():
-                start = int(order[pos % len(order)])
-                q.put(self._make_batch(epoch, start))
+                # batch membership comes from the epoch permutation (the
+                # reference's DistributedSampler shuffles per item)
+                idx = [order[(pos + k) % len(order)] for k in range(self.bs)]
+                q.put(self._make_batch(epoch, idx))
                 pos += self.bs
                 if pos >= len(order):
                     epoch += 1

@@ -138,6 +138,10 @@ class SyntheticPoseDataset:
         painted = fimg > 0
         img[painted] = face_colors[fimg[painted] - 1]
         img = np.clip(img + rng.normal(0, 0.02, img.shape).astype(np.float32), 0, 1)
+        # match the Batch contract (ImageNet-normalized RGB) so synthetic and
+        # BOP checkpoints are interchangeable
+        from .transforms import IMAGENET_MEAN, IMAGENET_STD
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
 
         G = self.max_objs
         class_ids = np.full((G,), -1, np.int32)

@@ -2,10 +2,12 @@
 
 OneCycle with linear annealing, matching torch.optim.lr_scheduler.OneCycleLR
 (anneal_strategy='linear', three_phase=False) as configured by the reference
-(`libs/train_libs.py:117-120`): warm up from max_lr/div_factor to max_lr over
+(`libs/train_libs.py:120`): warm up from max_lr/div_factor to max_lr over
 pct_start of total steps, then anneal linearly to max_lr/div_factor/final_div.
-Momentum (Adam beta1) cycles inversely between 0.95 and 0.85 (torch default
-cycle_momentum=True).
+
+NOTE: the reference passes cycle_momentum=False, so Adam beta1 stays at 0.9
+throughout training; `onecycle_linear_beta1` below models torch's
+cycle_momentum=True variant and is provided for experimentation only.
 """
 from __future__ import annotations
 

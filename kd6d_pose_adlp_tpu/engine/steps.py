@@ -25,7 +25,7 @@ from ..models.pose_net import PoseNet
 from ..ops.object_space import select_class_pred
 from ..ops.voting import Votes, vote_cells, votes_to_internal_frame
 from .losses import pose_losses
-from .schedule import onecycle_linear_beta1, onecycle_linear_lr
+from .schedule import onecycle_linear_lr
 
 
 class TrainState(NamedTuple):
@@ -36,16 +36,16 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config, n_devices: int = 1):
-    """AdamW(wd=1e-4) + OneCycle linear LR + cycled beta1 + grad-clip 1.0
-    (reference libs/train_libs.py:117-120; LR divided by world size as the
-    reference does, libs/train_libs.py:117)."""
+    """AdamW(wd=1e-4, constant betas) + OneCycle linear LR + grad-clip 1.0
+    (reference libs/train_libs.py:119-120: AdamW defaults with
+    OneCycleLR(cycle_momentum=False) — beta1 stays 0.9; LR divided by world
+    size as the reference does)."""
     total = cfg.solver.max_iter + 100  # reference passes MAX_ITER+100
     lr = onecycle_linear_lr(cfg.solver.base_lr / n_devices, total)
-    b1 = onecycle_linear_beta1(total)
     return optax.chain(
         optax.clip_by_global_norm(cfg.solver.grad_clip),
-        optax.inject_hyperparams(optax.adamw)(
-            learning_rate=lr, b1=b1, weight_decay=cfg.solver.weight_decay),
+        optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=cfg.solver.weight_decay),
     )
 
 

@@ -46,11 +46,16 @@ class FPN(nn.Module):
             outs.insert(0, conv(3, f"out{i}")(inner))
 
         if self.use_p6p7:
-            # symmetric padding to match torch Conv2d(stride=2, padding=1)
+            # symmetric padding to match torch Conv2d(stride=2, padding=1).
+            # NOTE: the reference's P6 consumes the RAW backbone top feature,
+            # not the FPN P5 output — FPNTopP6P7(use_p5=True) is called as
+            # top_blocks(outs[-1], inputs[-1]) and selects its SECOND arg
+            # (models/model.py:80,97-103), whose channel count is
+            # feat_channels[-1] (models/model.py:480).
             p6 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
                          padding=((1, 1), (1, 1)),
                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-                         kernel_init=kaiming_uniform_a1, name="p6")(outs[-1])
+                         kernel_init=kaiming_uniform_a1, name="p6")(inputs[used[-1]])
             p7 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
                          padding=((1, 1), (1, 1)),
                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,

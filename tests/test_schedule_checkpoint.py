@@ -30,10 +30,13 @@ def test_onecycle_lr_matches_torch():
 def test_onecycle_beta1_matches_torch():
     torch = pytest.importorskip("torch")
     total = 500
+    # the reference itself disables momentum cycling (cycle_momentum=False,
+    # libs/train_libs.py:120); our beta1 schedule models torch's
+    # cycle_momentum=True variant, checked here against torch
     opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
     sched = torch.optim.lr_scheduler.OneCycleLR(
         opt, max_lr=1e-3, total_steps=total, pct_start=0.05,
-        anneal_strategy="linear")
+        anneal_strategy="linear", cycle_momentum=True)
     ours = onecycle_linear_beta1(total)
     for step in range(total):
         torch_b1 = opt.param_groups[0]["betas"][0]
