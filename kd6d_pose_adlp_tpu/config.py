@@ -104,7 +104,11 @@ class ModelConfig:
 
     @property
     def grid_sizes(self) -> Tuple[int, ...]:
-        """Feature-map side length per level at `input_res`."""
+        """Feature-map side length per level at `input_res`. The coarsest
+        stride must still produce a >=1 cell grid (stride-2 convs round up,
+        so input_res < max stride would desynchronize from the anchor table)."""
+        assert self.input_res >= self.level_strides[-1], (
+            f"input_res {self.input_res} < coarsest stride {self.level_strides[-1]}")
         return tuple(self.input_res // s for s in self.level_strides)
 
     @property
