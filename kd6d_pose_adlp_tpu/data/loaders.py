@@ -31,8 +31,9 @@ def build(cfg: Config, kind: str = "bop", eval_limit: Optional[int] = None) -> D
 
 def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
     from .synthetic import SyntheticPoseDataset
+    # mixed-class scenes: every class appears, like a multi-class BOP split
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=cfg.model.input_res,
-                              max_objs=cfg.solver.max_objs, single_class=0,
+                              max_objs=cfg.solver.max_objs, single_class=None,
                               seed=cfg.solver.seed)
     consts = ds.consts()
     meshes = [np.asarray(consts.kp3d[c]) for c in range(cfg.data.n_fg)]
