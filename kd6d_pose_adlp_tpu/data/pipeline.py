@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -42,7 +42,6 @@ class BOPPoseDataset:
                                  self.cfg.data.mesh_diameters)
 
     def sample(self, index: int, seed: int = 0) -> Optional[Dict]:
-        import cv2
         cfg = self.cfg
         s = cfg.solver
         rng = np.random.default_rng((seed * 1_000_003 + index) & 0x7FFFFFFF)

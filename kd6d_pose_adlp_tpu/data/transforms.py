@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -41,7 +41,6 @@ def internal_frame_matrix(width: int, height: int, target_w: int, target_h: int
 def remap_poses(src_K, Rs, Ts, kp3d_per_obj, dst_K, M3):
     """Re-fit each pose under dst_K after the 2D affine M3
     (reference libs/utils.py:504-526 via libs/poses.py:44-66)."""
-    from ..engine.evaluator import remap_pose_host  # host PnP refit
     new_Rs, new_Ts = [], []
     for R, T, pt3d in zip(Rs, Ts, kp3d_per_obj):
         # project with src_K, warp, re-solve under dst_K

@@ -10,13 +10,13 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
 import numpy as np
 
 from ..config import Config
-from ..data.batch import Batch, TaskConsts
+from ..data.batch import TaskConsts
 from ..utils import geometry as geo
 from ..utils import metrics as M
 from ..utils.logging_utils import ScalarLogger

@@ -9,7 +9,6 @@ crash-safe atomic checkpoints.
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -21,7 +20,7 @@ import numpy as np
 from ..config import Config
 from ..data.batch import Batch, TaskConsts
 from ..models.pose_net import PoseNet
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import replicate, shard_batch
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint, save_params
 from ..utils.logging_utils import ScalarLogger, Throughput
 from .steps import (TrainState, build_train_step, create_train_state,

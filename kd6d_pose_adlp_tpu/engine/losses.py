@@ -20,7 +20,7 @@ from ..ops.focal import sigmoid_focal_loss
 from ..ops.object_space import object_space_loss, image_space_loss, select_class_pred
 from ..ops.sinkhorn import batched_samples_loss
 from ..ops import ssc
-from ..ops.voting import Votes, votes_to_internal_frame
+from ..ops.voting import Votes
 
 _hp = jax.lax.Precision.HIGHEST
 

@@ -12,7 +12,6 @@ quirk (SURVEY §2.10) where gradients were never synchronized.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -8,8 +8,6 @@ BatchNorm statistics.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -12,8 +12,6 @@ self-test constants (darknet_tiny == 1,042,104 — `backbone/darknet.py:285`).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

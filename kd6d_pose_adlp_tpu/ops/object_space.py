@@ -13,8 +13,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..models import coder
-
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 

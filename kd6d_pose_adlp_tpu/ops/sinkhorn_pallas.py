@@ -15,14 +15,12 @@ noise) to the pure-JAX path, which remains the CPU/debug fallback.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .sinkhorn import (_NEG_BIG, _damp, _softmin, cost_matrix,
-                       epsilon_schedule)
+from .sinkhorn import _damp, _softmin, cost_matrix, epsilon_schedule
 
 
 def _cost(x, y, p):

@@ -8,7 +8,7 @@ serialization; files are plain bytes, safe for rank-0-writes / all-read.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any
 
 import jax
 import numpy as np

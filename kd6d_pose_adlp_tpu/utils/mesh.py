@@ -5,8 +5,7 @@ from __future__ import annotations
 
 import json
 import os
-import struct
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ penalties (1.0 rel / 50px / 1e10mm) and 3 depth bins.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
