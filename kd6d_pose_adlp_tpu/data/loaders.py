@@ -86,18 +86,21 @@ def _build_bop(cfg: Config, eval_limit: Optional[int]) -> DataBundle:
             yield batch
 
     def eval_batches():
-        n = len(valid_ds) if eval_limit is None else min(eval_limit, len(valid_ds))
+        # one eval sample per (image, object) — reference dzi_test_mobj
+        items = valid_ds.eval_items()
+        if eval_limit is not None:
+            items = items[:eval_limit]
         tb = cfg.test.ims_per_batch
-        for start in range(0, n, tb):
-            idx = [min(i, n - 1) for i in range(start, start + tb)]
+        for start in range(0, len(items), tb):
+            chunk = items[start:start + tb]
             samples = []
-            for i in idx:
-                s = valid_ds.sample(i, seed=0)
+            for img_i, obj_j in chunk:
+                s = valid_ds.sample(img_i, seed=0, focus_obj=obj_j)
                 if s is not None:
                     samples.append(s)
             if not samples:
                 continue
-            while len(samples) < tb:
+            while len(samples) < tb:  # static shapes: pad with a duplicate
                 samples.append(samples[-1])
             yield collate(samples), [s["meta"] for s in samples]
 

@@ -41,7 +41,28 @@ class BOPPoseDataset:
         return TaskConsts.create(self.internal_K, self.kp3d,
                                  self.cfg.data.mesh_diameters)
 
-    def sample(self, index: int, seed: int = 0) -> Optional[Dict]:
+    def eval_items(self):
+        """[(image_idx, object_idx)] pairs for per-object evaluation crops
+        (reference dzi_test_mobj, libs/dzi_libs.py:222-242: multi-object
+        scenes evaluate one DZI crop per object). Counts come from
+        scene_gt.json only (no mask reads)."""
+        import os
+        items = []
+        for i, path in enumerate(self.images):
+            try:
+                gt_dir, _, img_name = path.strip().rsplit("/", 2)
+                base = os.path.splitext(img_name)[0]
+                gt = bop._load_json(os.path.join(gt_dir, "scene_gt.json"))
+                key = str(int(base)) if str(int(base)) in gt else base
+                n = sum(1 for p in gt[key] if str(p["obj_id"]) in self.obj2cls)
+            except Exception:
+                continue
+            for j in range(n):
+                items.append((i, j))
+        return items
+
+    def sample(self, index: int, seed: int = 0,
+               focus_obj: Optional[int] = None) -> Optional[Dict]:
         cfg = self.cfg
         s = cfg.solver
         rng = np.random.default_rng((seed * 1_000_003 + index) & 0x7FFFFFFF)
@@ -113,6 +134,28 @@ class BOPPoseDataset:
         Rs = [geo.pose_symmetry_handling(R, self.sym[c]) if c in self.sym else R
               for R, c in zip(Rs, class_ids)]
 
+        # per-object eval crops (reference dzi_test_mobj): bring the focused
+        # object to slot 0 (the crop target and the voted class) and remap
+        # the instance mask accordingly; meta carries only that object's GT
+        if focus_obj is not None:
+            if focus_obj not in keep:
+                return None  # dropped by remove_invalids, like the reference
+            fi = keep.index(focus_obj)
+            order = [fi] + [k for k in range(len(class_ids)) if k != fi]
+            class_ids = [class_ids[k] for k in order]
+            Rs = [Rs[k] for k in order]
+            Ts = [Ts[k] for k in order]
+            lut = np.zeros(len(order) + 2, np.int32)  # [0]=bg, [-1] stays -1
+            for new, old in enumerate(order):
+                lut[old + 1] = new + 1
+            neg = mask < 0
+            mask = lut[np.clip(mask, 0, len(order))]
+            mask[neg] = -1
+            raw = dict(K=raw["K"],
+                       class_ids=[raw["class_ids"][focus_obj]],
+                       rotations=[raw["rotations"][focus_obj]],
+                       translations=[raw["translations"][focus_obj]])
+
         # DZI crop on the FIRST object (reference dzi_train/dzi_test use
         # bbox[0]; LINEMOD scenes carry one object)
         kp2d = geo.project_points(self.internal_K, Rs[0], Ts[0],
@@ -146,7 +189,9 @@ class BOPPoseDataset:
         return dict(
             image=T.normalize_fast(crop), mask=mask_c, class_ids=cls_arr,
             rotations=R_arr, translations=T_arr, bbox_trans=Mc,
-            meta=dict(filename=path, K=raw["K"], width=w, height=h,
+            meta=dict(filename=(path if focus_obj is None
+                                else f"{path}#obj{focus_obj}"),
+                      K=raw["K"], width=w, height=h,
                       class_ids=raw["class_ids"],
                       rotations=raw["rotations"],
                       translations=raw["translations"]))

@@ -127,3 +127,69 @@ def test_prefetch_loader_batches(bop_root):
     assert len(metas) == 2 and "filename" in metas[0]
     batch2, _ = next(it)
     assert batch2.images.shape == (2, 128, 128, 3)
+
+
+@pytest.fixture(scope="module")
+def bop_root_multi(tmp_path_factory):
+    """A scene with TWO instances for per-object eval-crop tests."""
+    root = tmp_path_factory.mktemp("bop_multi")
+    models = root / "models"
+    models.mkdir()
+    _write_ply(models / "obj_000001.ply", CORNERS)
+    with open(root / "bbox.json", "w") as f:
+        json.dump([mesh_bbox_corners(CORNERS).tolist()], f)
+    scene = root / "train" / "000001"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "mask_visib").mkdir()
+    rng = np.random.default_rng(5)
+    img = np.full((480, 640, 3), 60, np.uint8)
+    cam = {"0": {"cam_K": K0.reshape(-1).tolist(), "depth_scale": 1.0}}
+    gt = {"0": []}
+    for j, off in enumerate(((-120.0, 0.0), (130.0, 20.0))):
+        R = geo.quaternion2rotation(rng.normal(size=4))
+        T = np.array([off[0], off[1], 850.0])
+        kp = geo.project_points(K0, R, T, CORNERS.astype(np.float64))
+        hull = cv2.convexHull(kp.astype(np.float32)).astype(np.int32)
+        cv2.fillConvexPoly(img, hull, (40 + 80 * j, 180, 90))
+        mask = np.zeros((480, 640), np.uint8)
+        cv2.fillConvexPoly(mask, hull, 255)
+        cv2.imwrite(str(scene / "mask_visib" / f"000000_{j:06d}.png"), mask)
+        gt["0"].append({"cam_R_m2c": R.reshape(-1).tolist(),
+                        "cam_t_m2c": T.reshape(-1).tolist(), "obj_id": 1})
+    cv2.imwrite(str(scene / "rgb" / "000000.png"), img)
+    with open(scene / "scene_camera.json", "w") as f:
+        json.dump(cam, f)
+    with open(scene / "scene_gt.json", "w") as f:
+        json.dump(gt, f)
+    with open(root / "train_list.txt", "w") as f:
+        f.write("train/000001/rgb/000000.png")
+    return root
+
+
+def test_per_object_eval_crops(bop_root_multi):
+    cfg = _cfg(bop_root_multi)
+    ds = BOPPoseDataset(cfg, cfg.data.train_list, train=False)
+    items = ds.eval_items()
+    assert items == [(0, 0), (0, 1)]
+    s0 = ds.sample(0, focus_obj=0)
+    s1 = ds.sample(0, focus_obj=1)
+    assert s0 is not None and s1 is not None
+    # unique eval keys and single-object meta
+    assert s0["meta"]["filename"].endswith("#obj0")
+    assert s1["meta"]["filename"].endswith("#obj1")
+    assert len(s0["meta"]["class_ids"]) == 1
+    # the focused object sits in slot 0 and its crop differs per object
+    assert s0["class_ids"][0] == 0 and s1["class_ids"][0] == 0
+    assert not np.allclose(s0["bbox_trans"], s1["bbox_trans"])
+    # each crop's slot-0 pose projects inside its own crop
+    res = cfg.model.input_res
+    for s in (s0, s1):
+        kp = geo.project_points(cfg.data.internal_K_np(), s["rotations"][0],
+                                s["translations"][0], CORNERS)
+        kp_crop = geo.apply_affine(s["bbox_trans"], kp)
+        assert kp_crop.min() > -res * 0.3 and kp_crop.max() < res * 1.3
+        # slot-0 instance occupies the crop center region
+        ys, xs = np.nonzero(s["mask"] == 1)
+        assert len(xs) > 30
+        c = np.array([xs.mean(), ys.mean()])
+        assert np.linalg.norm(c - kp_crop.mean(0)) < res * 0.2
