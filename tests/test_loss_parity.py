@@ -106,3 +106,47 @@ def test_focal_loss_matches_reference_module():
     ours = sigmoid_focal_loss(jnp.asarray(logits),
                               jnp.asarray(labels.astype(np.int32)))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_target_coder_matches_reference():
+    mm, ll = _import_losses()
+    rng = np.random.default_rng(2)
+    n = 12
+    ref_coder = mm.TargetCoder("POINT", [32, 64, 128, 256, 512],
+                               [8, 16, 32, 64, 128])
+    cx = rng.uniform(50, 200, n)
+    cy = rng.uniform(50, 200, n)
+    side = rng.choice([32.0, 64.0], n)
+    anchors_xyxy = np.stack([cx - (side - 1) / 2, cy - (side - 1) / 2,
+                             cx + (side - 1) / 2, cy + (side - 1) / 2],
+                            1).astype(np.float32)
+    anchors_ours = np.stack([cx, cy, side, side], 1).astype(np.float32)
+    bbox_trans = np.stack([geo.dzi_affine(np.array([300.0, 220.0]), 250.0, 256)
+                           for _ in range(n)]).astype(np.float32)
+
+    # encode: project GT corners through pose + crop affine, normalize
+    R = geo.quaternion2rotation(rng.normal(size=4)).astype(np.float32)
+    T = np.array([10.0, -5.0, 900.0], np.float32)
+    gt3d = rng.normal(scale=40, size=(n, 8, 3)).astype(np.float32)
+    enc_ref = ref_coder.encode(
+        torch.from_numpy(K_INT), torch.from_numpy(gt3d),
+        torch.from_numpy(np.tile(R, (n, 1, 1))),
+        torch.from_numpy(np.tile(T.reshape(3, 1), (n, 1, 1))),
+        torch.from_numpy(anchors_xyxy), torch.from_numpy(bbox_trans)).numpy()
+    kp2d = coder.project_corners(jnp.asarray(K_INT),
+                                 jnp.asarray(np.tile(R, (n, 1, 1))),
+                                 jnp.asarray(np.tile(T, (n, 1))),
+                                 jnp.asarray(gt3d), jnp.asarray(bbox_trans))
+    enc_ours = coder.encode(kp2d, jnp.asarray(anchors_ours))
+    np.testing.assert_allclose(np.asarray(enc_ours), enc_ref, rtol=1e-4, atol=1e-4)
+
+    # decode incl. inverse bbox_trans
+    pred = rng.normal(scale=0.4, size=(n, 16)).astype(np.float32)
+    dec_ref = ref_coder.decode(torch.from_numpy(pred),
+                               torch.from_numpy(anchors_xyxy),
+                               torch.from_numpy(bbox_trans)).numpy()  # (n,16) [x8,y8]
+    inv_bt = coder.invert_bbox_trans(jnp.asarray(bbox_trans))
+    dec_ours = np.asarray(coder.decode(jnp.asarray(pred),
+                                       jnp.asarray(anchors_ours), inv_bt))
+    dec_ours_flat = np.concatenate([dec_ours[..., 0], dec_ours[..., 1]], -1)
+    np.testing.assert_allclose(dec_ours_flat, dec_ref, rtol=1e-4, atol=2e-3)
