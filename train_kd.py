@@ -124,6 +124,17 @@ def main():
     forward = build_forward(cfg, net)
     postprocess = build_postprocess(cfg, consts)
 
+    # model-size comparison (reference train_kd.py:76-78)
+    count = lambda tree: sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+    s_params = net.init(jax.random.PRNGKey(0), jnp.zeros(
+        (1, cfg.model.input_res, cfg.model.input_res, 3)))["params"]
+    if teacher_variables is not None:
+        print(f"Model size: Student VS Teacher: {count(s_params):d} vs "
+              f"{count(teacher_variables['params']):d}")
+    else:
+        print(f"Model size: {count(s_params):d} params")
+    del s_params
+
     if distill and args.weight_file_t:
         # teacher sanity gate (reference train_kd.py:85-86)
         print("--- evaluate teacher ---")
