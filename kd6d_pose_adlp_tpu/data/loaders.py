@@ -79,9 +79,9 @@ def _build_bop(cfg: Config, eval_limit: Optional[int]) -> DataBundle:
     consts = train_ds.consts()
     meshes = train_ds.meshes
 
-    def train_iter():
+    def train_iter(num_threads: int = 2):
         loader = PrefetchLoader(train_ds, cfg.solver.ims_per_batch, train=True,
-                                seed=cfg.solver.seed)
+                                num_threads=num_threads, seed=cfg.solver.seed)
         for batch, _ in loader:
             yield batch
 

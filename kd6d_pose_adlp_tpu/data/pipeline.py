@@ -232,35 +232,57 @@ class PrefetchLoader:
                 samples.append(s)
         return collate(samples), [s["meta"] for s in samples]
 
+    def _index_stream(self, stop):
+        """Batch index lists from per-epoch permutations (the reference's
+        DistributedSampler shuffles per item)."""
+        epoch, pos = 0, 0
+        order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
+            if self.train else np.arange(len(self.ds))
+        while True:
+            yield epoch, [order[(pos + k) % len(order)] for k in range(self.bs)]
+            pos += self.bs
+            if pos >= len(order):
+                epoch += 1
+                pos = 0
+                if self.train:
+                    order = np.random.default_rng(
+                        self.seed + epoch).permutation(len(self.ds))
+                else:
+                    stop.set()
+                    return
+
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
+        stream = self._index_stream(stop)
+        lock = threading.Lock()
+        live = [self.num_threads]
 
         def producer():
-            epoch, pos = 0, 0
-            order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
-                if self.train else np.arange(len(self.ds))
+            # N threads share the index stream; completion order (and thus
+            # batch order) is nondeterministic across threads, like a torch
+            # DataLoader with workers — contents are seed-deterministic
             while not stop.is_set():
-                # batch membership comes from the epoch permutation (the
-                # reference's DistributedSampler shuffles per item)
-                idx = [order[(pos + k) % len(order)] for k in range(self.bs)]
+                with lock:
+                    try:
+                        epoch, idx = next(stream)
+                    except StopIteration:
+                        break
                 q.put(self._make_batch(epoch, idx))
-                pos += self.bs
-                if pos >= len(order):
-                    epoch += 1
-                    pos = 0
-                    if self.train:
-                        order = np.random.default_rng(
-                            self.seed + epoch).permutation(len(self.ds))
-                    else:
-                        stop.set()
+            with lock:
+                live[0] -= 1
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=producer, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
         try:
             while True:
-                if stop.is_set() and q.empty():
+                if stop.is_set() and q.empty() and live[0] == 0:
                     break
-                yield q.get()
+                try:
+                    yield q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
         finally:
             stop.set()

@@ -98,6 +98,10 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
 
     results = M.evaluate_pose_predictions(
         preds, cfg.data.n_class, meshes, list(cfg.data.mesh_diameters), sym)
+    if working_dir:
+        from ..tools.visualizer import vis_accuracy_per_depth
+        vis_accuracy_per_depth(results, os.path.join(
+            working_dir, f"accuracy_per_depth_{step:06d}.png"))
     table = M.format_accuracy_table(results)
     if verbose:
         print(f"[valid @ step {step}]\n{table}")

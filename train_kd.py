@@ -151,7 +151,8 @@ def main():
                         data.eval_batches(), data.meshes, step=step,
                         working_dir=args.working_dir)
 
-    train(cfg, consts, data.train_iter(),
+    train(cfg, consts, data.train_iter(args.num_workers)
+          if args.data == "bop" else data.train_iter(),
           cfg_t=cfg_t, teacher_variables=teacher_variables,
           eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh,
           vis_every=args.vis_every)
