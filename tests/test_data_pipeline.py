@@ -193,3 +193,34 @@ def test_per_object_eval_crops(bop_root_multi):
         assert len(xs) > 30
         c = np.array([xs.mean(), ys.mean()])
         assert np.linalg.norm(c - kp_crop.mean(0)) < res * 0.2
+
+
+def test_bop_end_to_end_training_step(bop_root):
+    """Three optimizer steps driven entirely by the on-disk BOP pipeline."""
+    import itertools
+    import jax
+    from kd6d_pose_adlp_tpu.engine.steps import (build_train_step,
+                                                 create_train_state,
+                                                 make_optimizer)
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+
+    cfg = _cfg(bop_root)
+    cfg = cfg.replace(model=ModelConfig(input_res=128, backbone="darknet_tiny_h"),
+                      solver=SolverConfig(max_objs=2, ims_per_batch=2, max_pos=32))
+    ds = BOPPoseDataset(cfg, cfg.data.train_list, train=True)
+    consts = ds.consts()
+    loader = iter(PrefetchLoader(ds, batch_size=2, train=True, seed=0))
+
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    opt = make_optimizer(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
+    step_fn = jax.jit(build_train_step(cfg, None, consts, net, None, opt,
+                                       distill=False), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        batch, _ = next(loader)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, None, batch, sub)
+        m = jax.device_get(metrics)
+        assert np.isfinite(float(m["loss_total"])), (i, m)
+    assert int(m["num_pos"]) > 0
