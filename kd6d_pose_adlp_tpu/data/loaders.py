@@ -48,21 +48,21 @@ def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
             yield ds.batch(range(1000 + step * bs, 1000 + (step + 1) * bs), train=True)
 
     def eval_batches():
+        from .pipeline import collate
         tb = cfg.test.ims_per_batch
         for start in range(0, eval_n, tb):
             idx = list(range(start, min(start + tb, eval_n)))
             if len(idx) < tb:  # static shapes: pad by wrapping
                 idx += list(range(tb - len(idx)))
-            batch = ds.batch(idx, train=False)
-            metas = []
-            for i in idx:
-                s = ds.sample(i, train=False)
-                metas.append(dict(filename=f"synthetic_{i:06d}.png",
-                                  K=s["meta"]["K"], width=s["meta"]["width"],
-                                  height=s["meta"]["height"],
-                                  class_ids=[s["meta"]["cls"]],
-                                  rotations=[s["meta"]["R"]],
-                                  translations=[s["meta"]["T"]]))
+            samples = [ds.sample(i, train=False) for i in idx]
+            batch = collate(samples)
+            metas = [dict(filename=f"synthetic_{i:06d}.png",
+                          K=s["meta"]["K"], width=s["meta"]["width"],
+                          height=s["meta"]["height"],
+                          class_ids=[s["meta"]["cls"]],
+                          rotations=[s["meta"]["R"]],
+                          translations=[s["meta"]["T"]])
+                     for i, s in zip(idx, samples)]
             yield batch, metas
 
     bundle = DataBundle(consts=consts, meshes=meshes,

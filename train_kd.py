@@ -139,8 +139,7 @@ def main():
         # teacher sanity gate (reference train_kd.py:85-86)
         print("--- evaluate teacher ---")
         t_forward = build_forward(cfg_t, teacher_net)
-        t_post = build_postprocess(cfg_t.replace(
-            test=cfg.test, solver=cfg_t.solver), consts)
+        t_post = build_postprocess(cfg_t.replace(test=cfg.test), consts)
         evaluator.valid(cfg, consts, teacher_variables, t_forward, t_post,
                         data.eval_batches(), data.meshes, step=0,
                         working_dir=args.working_dir)
