@@ -25,15 +25,19 @@ def main():
     ap.add_argument("--working_dir", type=str, default="outputs/synth_tpu/")
     ap.add_argument("--kd_weight", type=float, default=0.0)
     ap.add_argument("--eval_n", type=int, default=64)
+    ap.add_argument("--input_res", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import dataclasses
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from kd6d_pose_adlp_tpu.config import Config, KDConfig, ModelConfig, SolverConfig
-    from kd6d_pose_adlp_tpu.data import loaders
     from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
     from kd6d_pose_adlp_tpu.engine import evaluator
     from kd6d_pose_adlp_tpu.engine.loop import train
@@ -42,9 +46,11 @@ def main():
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
 
     cfg = Config(
-        model=ModelConfig(backbone="darknet_tiny_h", compute_dtype="bfloat16"),
+        model=ModelConfig(backbone="darknet_tiny_h", compute_dtype="bfloat16"
+                          if not args.cpu else "float32",
+                          input_res=args.input_res),
         solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
-                            val_freq=args.steps, base_lr=1e-3),
+                            val_freq=args.steps, base_lr=args.lr),
         kd=KDConfig(weight=args.kd_weight),
     )
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=cfg.model.input_res,
@@ -61,7 +67,18 @@ def main():
             for b in range(args.batches)]
     print(f"pool of {args.batches} batches in {time.time()-t0:.0f}s", flush=True)
 
-    bundle = loaders._build_synthetic(cfg, args.eval_n)
+    def eval_batches():
+        from kd6d_pose_adlp_tpu.data.pipeline import collate
+        tb = cfg.test.ims_per_batch
+        for start in range(0, args.eval_n, tb):
+            idx = [min(start + k, args.eval_n - 1) for k in range(tb)]
+            samples = [ds.sample(i, train=False) for i in idx]
+            yield collate(samples), [
+                dict(filename=f"synthetic_{i:06d}.png", K=s["meta"]["K"],
+                     width=s["meta"]["width"], height=s["meta"]["height"],
+                     class_ids=[s["meta"]["cls"]], rotations=[s["meta"]["R"]],
+                     translations=[s["meta"]["T"]])
+                for i, s in zip(idx, samples)]
 
     net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
     forward = build_forward(cfg, net)
@@ -72,7 +89,7 @@ def main():
     def eval_fn(state, step):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         res = evaluator.valid(cfg, consts, variables, forward, postprocess,
-                              bundle.eval_batches(), meshes, step=step,
+                              eval_batches(), meshes, step=step,
                               working_dir=args.working_dir)
         adi = [a.get("ADI.10d") for a in res["adi_per_class"] if a]
         results["adi10"] = float(np.mean(adi)) if adi else 0.0
