@@ -21,6 +21,7 @@ class DataBundle:
     meshes: List[np.ndarray]          # per-class vertex arrays (for ADD/ADI)
     train_iter: Callable[[], Iterable[Batch]]
     eval_batches: Callable[[], Iterable]  # yields (Batch, metas)
+    cfg: Optional[Config] = None      # source-adjusted config (synthetic diameters)
 
 
 def build(cfg: Config, kind: str = "bop", eval_limit: Optional[int] = None) -> DataBundle:
@@ -65,10 +66,8 @@ def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
                      for i, s in zip(idx, samples)]
             yield batch, metas
 
-    bundle = DataBundle(consts=consts, meshes=meshes,
-                        train_iter=train_iter, eval_batches=eval_batches)
-    bundle.cfg = cfg_d
-    return bundle
+    return DataBundle(consts=consts, meshes=meshes, train_iter=train_iter,
+                      eval_batches=eval_batches, cfg=cfg_d)
 
 
 def _build_bop(cfg: Config, eval_limit: Optional[int]) -> DataBundle:

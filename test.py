@@ -46,7 +46,7 @@ def main():
         test=dataclasses.replace(cfg.test, ims_per_batch=args.ims_per_batch))
 
     data = loaders.build(cfg, kind=args.data)
-    if args.data == "synthetic":
+    if data.cfg is not None:
         cfg = data.cfg
     net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros(

@@ -102,7 +102,7 @@ def main():
         args.weight_file_t != "" or args.data == "synthetic")
 
     data = loaders.build(cfg, kind=args.data)
-    if args.data == "synthetic" and hasattr(data, "cfg"):
+    if data.cfg is not None:
         cfg = data.cfg  # synthetic mesh diameters replace the yaml's LINEMOD ones
     consts = data.consts
     mesh = make_mesh(args.n_devices or None)
@@ -144,11 +144,14 @@ def main():
                         data.eval_batches(), data.meshes, step=0,
                         working_dir=args.working_dir)
 
+    from kd6d_pose_adlp_tpu.utils.logging_utils import ScalarLogger
+    eval_logger = ScalarLogger(args.working_dir, filename="eval_scalars.jsonl")
+
     def eval_fn(state, step):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         evaluator.valid(cfg, consts, variables, forward, postprocess,
                         data.eval_batches(), data.meshes, step=step,
-                        working_dir=args.working_dir)
+                        working_dir=args.working_dir, logger=eval_logger)
 
     train(cfg, consts, data.train_iter(args.num_workers)
           if args.data == "bop" else data.train_iter(),
