@@ -115,3 +115,17 @@ def test_train_step_deterministic():
                  None, batch, jax.random.PRNGKey(5))[1]
     for k in m1:
         np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+
+
+def test_kd_loss_kernel_variants_run():
+    """--gtype energy/gaussian/laplacian ablations through the full KD path."""
+    cfg, consts, batch = _setup()
+    votes = _fake_teacher_votes(cfg, consts, batch)
+    net = PoseNet(cfg=cfg.model, n_fg=N_FG)
+    variables = net.init(jax.random.PRNGKey(0), batch.images)
+    cls_logits, pred_reg = net.apply(variables, batch.images, train=False)
+    for gtype in ("energy", "gaussian", "laplacian"):
+        c = cfg.replace(kd=dataclasses.replace(cfg.kd, gtype=gtype))
+        out = pose_losses(jax.random.PRNGKey(1), cls_logits, pred_reg, batch,
+                          consts, c, teacher=(votes, 640.0, 480.0))
+        assert np.isfinite(float(out.loss_kd)), gtype
