@@ -241,6 +241,7 @@ def load_yaml_config(path: str, backbone: Optional[str] = None, **overrides) -> 
         anchor_sizes=tuple(mdl.get("ANCHOR_SIZES", (32, 64, 128, 256, 512))),
         anchor_strides=tuple(mdl.get("ANCHOR_STRIDES", (8, 16, 32, 64, 128))),
         use_higher_levels=bool(mdl.get("USE_HIGHER_LEVELS", True)),
+        input_res=int(mdl.get("INPUT_RES", 256)),
     )
     solver = SolverConfig(
         ims_per_batch=int(sol.get("IMS_PER_BATCH", 16)),

@@ -173,8 +173,8 @@ def kd_ot_loss(cls_logits, pred_xy, tgt: Targets, votes: Votes, cfg: Config,
     x, y, a, b, img_valid = build_kd_clouds(cls_logits, pred_xy, tgt, votes,
                                             cfg, w=w, h=h)
 
-    if kd.gtype == "sinkhorn" and kd.use_pallas and jax.default_backend() == "tpu":
-        from ..ops.sinkhorn_pallas import sinkhorn_divergence_pallas
+    from ..ops.sinkhorn_pallas import pallas_tpu_ok, sinkhorn_divergence_pallas
+    if kd.gtype == "sinkhorn" and kd.use_pallas and pallas_tpu_ok():
         per_k = sinkhorn_divergence_pallas(
             x, y, a, b, p=kd.p, blur=kd.blur, scaling=kd.scaling,
             reach=kd.reach, diameter=2.0)                          # (B,8)

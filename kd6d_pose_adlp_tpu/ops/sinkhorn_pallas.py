@@ -3,14 +3,23 @@
 The KD loss runs B x 8 independent weighted Sinkhorn problems on tiny padded
 clouds (P, T <= 64). In pure XLA each of the ~13 annealing steps is 4 separate
 logsumexp launches with HBM round-trips; this kernel keeps the 4 cost
-matrices and all dual potentials resident in VMEM for the entire schedule —
-one program per OT problem, grid over the problem batch.
+matrices and all dual potentials resident in VMEM for the entire schedule.
+
+Mosaic tiling (the round-1 failure mode, BENCH_r01): block shapes' last two
+dims must be (8,128)-divisible or equal to the array dims. We therefore grid
+over GROUPS OF 8 problems — blocks are (8, P[, 2]) whose trailing dims equal
+the array dims — and pad the problem batch N up to a multiple of 8. The
+kernel body is rank-3 (group, points, points) elementwise math, so sublanes
+get the 8 problems and lanes get the cloud dimension.
 
 Differentiability: the annealing loop is gradient-free (geomloss's
 envelope-theorem treatment); the kernel returns the four final potentials and
 `sinkhorn.py`-style code performs ONE differentiable extrapolation + cost
 evaluation in plain JAX. Gradients are therefore identical (up to float
 noise) to the pure-JAX path, which remains the CPU/debug fallback.
+
+Reference semantics: losses/kd_loss.py:26-30 (SamplesLoss config),
+losses/loss_libs.py:39-49 (invocation).
 """
 from __future__ import annotations
 
@@ -22,34 +31,40 @@ import jax.numpy as jnp
 
 from .sinkhorn import _damp, _softmin, cost_matrix, epsilon_schedule
 
+_GROUP = 8  # problems per pallas program (sublane-dim tile)
 
-def _cost(x, y, p):
-    d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+
+def _pairwise_cost(x, y, p):
+    """x (G,P,2), y (G,T,2) -> (G,P,T); per-coordinate broadcast keeps every
+    intermediate rank-3 with lanes = cloud size (Mosaic-friendly)."""
+    dx = x[:, :, None, 0] - y[:, None, :, 0]
+    dy = x[:, :, None, 1] - y[:, None, :, 1]
+    d2 = dx * dx + dy * dy
     if p == 2:
         return d2 * 0.5
     return jnp.sqrt(jnp.maximum(d2, 1e-20))
 
 
-def _make_kernel(P: int, T: int, eps_list: Tuple[float, ...],
-                 rho: Optional[float], p: float, debias: bool):
+def _make_kernel(eps_list: Tuple[float, ...], rho: Optional[float], p: float,
+                 debias: bool):
 
     def kernel(x_ref, y_ref, alog_ref, blog_ref,
                ax_ref, by_ref, ay_ref, bx_ref):
-        x = x_ref[0]                      # (P, 2)
-        y = y_ref[0]                      # (T, 2)
-        a_log = alog_ref[0]               # (P,)
-        b_log = blog_ref[0]               # (T,)
+        x = x_ref[...]                    # (G, P, 2)
+        y = y_ref[...]                    # (G, T, 2)
+        a_log = alog_ref[...]             # (G, P)
+        b_log = blog_ref[...]             # (G, T)
 
-        C_xy = _cost(x, y, p)             # (P, T)
-        C_yx = C_xy.T
-        C_xx = _cost(x, x, p)
-        C_yy = _cost(y, y, p)
+        C_xy = _pairwise_cost(x, y, p)    # (G, P, T)
+        C_yx = jnp.swapaxes(C_xy, 1, 2)
+        C_xx = _pairwise_cost(x, x, p)
+        C_yy = _pairwise_cost(y, y, p)
 
-        def softmin(eps, C, h):
-            m = h[None, :] - C / eps
-            mx = jnp.max(m, axis=1, keepdims=True)
-            return -eps * (jnp.log(jnp.sum(jnp.exp(m - mx), axis=1))
-                           + mx[:, 0])
+        def softmin(eps, C, h):           # C (G,M,N), h (G,N) -> (G,M)
+            m = h[:, None, :] - C / eps
+            mx = jnp.max(m, axis=-1, keepdims=True)
+            return -eps * (jnp.log(jnp.sum(jnp.exp(m - mx), axis=-1))
+                           + mx[..., 0])
 
         eps0 = eps_list[0]
         lam = _damp(eps0, rho)
@@ -70,12 +85,39 @@ def _make_kernel(P: int, T: int, eps_list: Tuple[float, ...],
                 a_x = 0.5 * (a_x + at_x)
                 b_y = 0.5 * (b_y + bt_y)
 
-        ax_ref[0] = a_x
-        by_ref[0] = b_y
-        ay_ref[0] = a_y
-        bx_ref[0] = b_x
+        ax_ref[...] = a_x
+        by_ref[...] = b_y
+        ay_ref[...] = a_y
+        bx_ref[...] = b_x
 
     return kernel
+
+
+def _build_grid_spec(n_total: int, P: int, T: int):
+    """Block layout for `_solve_potentials` (n_total divisible by _GROUP).
+    Every block's trailing dims equal the array's trailing dims and the
+    grid-mapped leading dim is the (8-divisible) _GROUP — the exact form the
+    Mosaic `_check_block_mappings` rule accepts; kept in its own function so
+    tests can statically re-validate the rule on CPU (the rule itself only
+    fires during TPU lowering)."""
+    from jax.experimental import pallas as pl
+
+    assert n_total % _GROUP == 0, (n_total, _GROUP)
+    return pl.GridSpec(
+        grid=(n_total // _GROUP,),
+        in_specs=[
+            pl.BlockSpec((_GROUP, P, 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_GROUP, T, 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_GROUP, P), lambda i: (i, 0)),
+            pl.BlockSpec((_GROUP, T), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_GROUP, P), lambda i: (i, 0)),
+            pl.BlockSpec((_GROUP, T), lambda i: (i, 0)),
+            pl.BlockSpec((_GROUP, T), lambda i: (i, 0)),
+            pl.BlockSpec((_GROUP, P), lambda i: (i, 0)),
+        ],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("p", "blur", "scaling", "reach",
@@ -89,30 +131,50 @@ def _solve_potentials(x, y, a_log, b_log, *, p, blur, scaling, reach,
     T = y.shape[1]
     rho = None if reach is None else float(reach) ** p
     eps_list = epsilon_schedule(p, diameter, blur, scaling)
-    kernel = _make_kernel(P, T, eps_list, rho, p, debias)
+    kernel = _make_kernel(eps_list, rho, p, debias)
 
-    vec = lambda n: jax.ShapeDtypeStruct((N, n), jnp.float32)
-    grid_spec = pl.GridSpec(
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec((1, P, 2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, T, 2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, P), lambda i: (i, 0)),
-            pl.BlockSpec((1, T), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, P), lambda i: (i, 0)),
-            pl.BlockSpec((1, T), lambda i: (i, 0)),
-            pl.BlockSpec((1, T), lambda i: (i, 0)),
-            pl.BlockSpec((1, P), lambda i: (i, 0)),
-        ],
-    )
-    return pl.pallas_call(
+    n_pad = (-N) % _GROUP
+    if n_pad:
+        pad = lambda v: jnp.concatenate(
+            [v, jnp.zeros((n_pad,) + v.shape[1:], v.dtype)], axis=0)
+        x, y, a_log, b_log = pad(x), pad(y), pad(a_log), pad(b_log)
+    n_total = N + n_pad
+
+    vec = lambda n: jax.ShapeDtypeStruct((n_total, n), jnp.float32)
+    grid_spec = _build_grid_spec(n_total, P, T)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[vec(P), vec(T), vec(T), vec(P)],
         interpret=interpret,
     )(x, y, a_log, b_log)
+    if n_pad:
+        outs = [o[:N] for o in outs]
+    return tuple(outs)
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_tpu_ok() -> bool:
+    """One-shot probe: can the Pallas kernel lower AND execute on the current
+    default backend? Compiles + runs a tiny representative problem. Any
+    failure (Mosaic lowering rules, libtpu mismatch, no TPU) -> False, and the
+    KD loss uses the pure-JAX solver instead — the benchmark/training path
+    must degrade, never die (VERDICT round 1, item 1)."""
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        x = jnp.zeros((9, 16, 2), jnp.float32)  # 9 exercises the pad path
+        y = jnp.zeros((9, 16, 2), jnp.float32)
+        l = jnp.full((9, 16), -jnp.log(16.0), jnp.float32)
+        outs = _solve_potentials(x, y, l, l, p=2.0, blur=1e-3, scaling=0.5,
+                                 reach=0.5, diameter=2.0, debias=True)
+        jax.block_until_ready(outs)
+        return all(bool(jnp.isfinite(o).all()) for o in outs)
+    except Exception as e:  # noqa: BLE001 — any lowering/runtime failure
+        import sys
+        print(f"[sinkhorn_pallas] probe failed ({type(e).__name__}); "
+              f"falling back to pure-JAX Sinkhorn", file=sys.stderr)
+        return False
 
 
 def sinkhorn_divergence_pallas(x, y, a, b, *, p: float = 2.0, blur: float = 1e-3,

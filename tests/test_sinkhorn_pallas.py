@@ -59,3 +59,35 @@ def test_pallas_gradients_match():
     cos = r @ p_ / (np.linalg.norm(r) * np.linalg.norm(p_) + 1e-12)
     assert cos > 0.995, cos
     assert abs(np.linalg.norm(p_) / np.linalg.norm(r) - 1) < 0.05
+
+
+def test_block_specs_satisfy_mosaic_tiling_rule():
+    """Static re-check of the Mosaic `_check_block_mappings` rule that killed
+    the round-1 bench (BENCH_r01): each block's last two dims must be
+    divisible by (8, 128) or equal to the array's dims. Runs on CPU because
+    the real check only fires during TPU lowering."""
+    from kd6d_pose_adlp_tpu.ops.sinkhorn_pallas import _GROUP, _build_grid_spec
+
+    def ok(block, array):
+        bl2, al2 = block[-2:], array[-2:]
+        sub_ok = bl2[0] % 8 == 0 or bl2[0] == al2[0]
+        lane_ok = bl2[1] % 128 == 0 or bl2[1] == al2[1]
+        return sub_ok and lane_ok
+
+    for (N, P, T) in [(128, 64, 64), (16, 64, 64), (8, 32, 48), (8, 16, 16)]:
+        gs = _build_grid_spec(N, P, T)
+        arrays = [(N, P, 2), (N, T, 2), (N, P), (N, T),
+                  (N, P), (N, T), (N, T), (N, P)]
+        specs = list(gs.in_specs) + list(gs.out_specs)
+        for spec, arr in zip(specs, arrays):
+            assert ok(spec.block_shape, arr), (spec.block_shape, arr)
+
+
+def test_pallas_pad_path_nonmultiple_of_group():
+    """N not divisible by the 8-problem group must pad and slice correctly."""
+    for N in (1, 7, 9):
+        x, y, a, b = _clouds(3, N=N)
+        ref = sk.batched_samples_loss(x, y, a, b, gtype="sinkhorn")
+        got = sinkhorn_divergence_pallas(x, y, a, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
