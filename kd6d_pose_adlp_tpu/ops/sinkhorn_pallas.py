@@ -36,9 +36,12 @@ _GROUP = 8  # problems per pallas program (sublane-dim tile)
 
 def _pairwise_cost(x, y, p):
     """x (G,P,2), y (G,T,2) -> (G,P,T); per-coordinate broadcast keeps every
-    intermediate rank-3 with lanes = cloud size (Mosaic-friendly)."""
-    dx = x[:, :, None, 0] - y[:, None, :, 0]
-    dy = x[:, :, None, 1] - y[:, None, :, 1]
+    intermediate rank-3 with lanes = cloud size. Coordinates are extracted
+    with `lax.index_in_dim` (slice+squeeze) — integer indexing lowers to a 3D
+    gather, which Mosaic refuses ("Only 2D gather is supported")."""
+    coord = lambda v, i: jax.lax.index_in_dim(v, i, axis=2, keepdims=False)
+    dx = coord(x, 0)[:, :, None] - coord(y, 0)[:, None, :]
+    dy = coord(x, 1)[:, :, None] - coord(y, 1)[:, None, :]
     d2 = dx * dx + dy * dy
     if p == 2:
         return d2 * 0.5
