@@ -163,6 +163,10 @@ class TestConfig:
     max_votes: int = 64         # fixed-shape cap for voted cells per image/class
     ransac_iters: int = 128     # RANSAC-EPnP hypotheses (on-device)
     ransac_reproj_err: float = 5.0  # px, reference postprocess/postprocess.py:190
+    lhm_iters: int = 10         # LHM object-space refinement after RANSAC
+    # (0 = off). The PnP noise study (scripts/pnp_noise_study.py) shows LHM
+    # halves p90 rotation error at >=2px vote noise; the reference ships the
+    # same refiner but leaves it disabled (postprocess/postprocess.py:180-184)
 
 
 @dataclasses.dataclass(frozen=True)

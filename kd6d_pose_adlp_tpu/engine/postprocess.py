@@ -57,6 +57,25 @@ def build_postprocess(cfg: Config, consts: TaskConsts):
         R, T, n_in = jax.vmap(lambda p3, p2, v, r: solve(p3, p2, v, consts.K, r))(
             pts3d, pts2d, valid, rngs)
 
+        if t.lhm_iters > 0:
+            # object-space refinement on the RANSAC inliers; the noise study
+            # (scripts/pnp_noise_study.py) shows this halves p90 rotation
+            # error at >=2px vote noise vs EPnP-refit alone
+            from ..ops.epnp import lhm_refine, reprojection_errors
+            Kf = consts.K.astype(jnp.float32)
+            Kinv = jnp.linalg.inv(Kf)
+
+            def refine(p3, p2, v, R0, T0):
+                pix = jnp.concatenate(
+                    [p2, jnp.ones((p2.shape[0], 1), jnp.float32)], -1)
+                rays = pix @ Kinv.T
+                err = reprojection_errors(p3, p2, Kf, R0, T0)
+                w = ((err < t.ransac_reproj_err) & v).astype(jnp.float32)
+                w = jnp.where(w.sum() >= 6, w, v.astype(jnp.float32))
+                return lhm_refine(p3, rays, w, R0, T0, iters=t.lhm_iters)
+
+            R, T = jax.vmap(refine)(pts3d, pts2d, valid, R, T)
+
         # result confidence = max vote score, reported as sqrt(sigmoid) like
         # the reference (postprocess/postprocess.py:57)
         conf = jnp.sqrt(jnp.max(jnp.where(votes.valid, votes.score, 0.0), axis=1))
