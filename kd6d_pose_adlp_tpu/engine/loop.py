@@ -21,7 +21,8 @@ from ..config import Config
 from ..data.batch import Batch, TaskConsts
 from ..models.pose_net import PoseNet
 from ..parallel.mesh import replicate, shard_batch
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint, save_params
+from ..utils.checkpoint import (config_hash, restore_checkpoint,
+                                save_checkpoint, save_params)
 from ..utils.logging_utils import ScalarLogger, Throughput
 from .steps import (TrainState, build_train_step, create_train_state,
                     make_optimizer)
@@ -62,9 +63,10 @@ def train(cfg: Config,
     state = create_train_state(init_rng, cfg, net, optimizer)
 
     start_step = 0
+    cfg_h = config_hash(cfg)
     latest = os.path.join(working_dir, "latest.ckpt")
     if resume and os.path.exists(latest):
-        state, start_step = restore_checkpoint(latest, state)
+        state, start_step = restore_checkpoint(latest, state, cfg_hash=cfg_h)
         if verbose:
             print(f"resumed from {latest} @ step {start_step}")
 
@@ -119,7 +121,7 @@ def train(cfg: Config,
         if step % cfg.solver.val_freq == 0 or step == cfg.solver.max_iter:
             if eval_fn is not None:
                 eval_fn(state, step)
-            save_checkpoint(latest, state, step)
+            save_checkpoint(latest, state, step, cfg_hash=cfg_h)
             meter.reset()
 
     save_params(os.path.join(working_dir, "final.ckpt"),

@@ -157,9 +157,16 @@ def _kernel(x, y, gtype: str, blur: float, p: float) -> jnp.ndarray:
         return jnp.exp(-d2 / (2.0 * blur * blur))
     if gtype == "laplacian":
         return jnp.exp(-d / blur)
-    if gtype == "l1":   # ablation fallback: energy with |.|
+    # "l1"/"l2" are argparse choices in the reference
+    # (arguments/argument_kd.py:39) that are passed verbatim into
+    # geomloss.SamplesLoss (losses/kd_loss.py:26), which only accepts
+    # {sinkhorn, hausdorff, energy, gaussian, laplacian} — i.e. they CRASH in
+    # the reference and were never runnable ablations. We keep them alive as
+    # conditionally-negative-definite energy kernels of the matching degree
+    # (|.| and |.|^2), which is the closest meaningful interpretation.
+    if gtype == "l1":
         return -d
-    if gtype == "l2":   # ablation fallback: energy with |.|^2
+    if gtype == "l2":
         return -d2
     raise ValueError(gtype)
 
