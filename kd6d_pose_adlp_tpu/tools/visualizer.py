@@ -116,3 +116,47 @@ def draw_pose_axes(img: np.ndarray, R, T, K, length: float = 50.0,
     for i, color in ((1, (0, 0, 255)), (2, (0, 255, 0)), (3, (255, 0, 0))):
         cv2.line(out, tuple(pts[0]), tuple(pts[i]), color, 2)
     return out
+
+
+def draw_2d_keypoints(img: np.ndarray, kp2d, color=(0, 255, 255),
+                      radius: int = 2, scores=None) -> np.ndarray:
+    """Draw voted/predicted 2D keypoints as filled circles; with `scores`,
+    radius scales with confidence (reference libs/utils.py:555-563
+    draw_2d_keypoints)."""
+    import cv2
+    out = img.copy()
+    pts = np.asarray(kp2d, np.float64).reshape(-1, 2)
+    sc = (np.asarray(scores, np.float64).reshape(-1) if scores is not None
+          else np.ones(len(pts)))
+    smax = sc.max() + 1e-9
+    h, w = out.shape[:2]
+    for (x, y), s in zip(pts, sc):
+        if not (np.isfinite(x) and np.isfinite(y)):
+            continue
+        if -w < x < 2 * w and -h < y < 2 * h:
+            r = max(1, int(round(radius * (0.5 + s / smax))))
+            cv2.circle(out, (int(round(x)), int(round(y))), r, color, -1)
+    return out
+
+
+def draw_mesh_contour(img: np.ndarray, R, T, K, vertices,
+                      color=(255, 0, 255), thickness: int = 2,
+                      max_vertices: int = 1000) -> np.ndarray:
+    """Draw the object silhouette as the convex hull of the projected mesh
+    vertices. Renderer-free equivalent of the reference's pyrender-based
+    contour overlay (libs/utils.py:655-713): for LINEMOD-scale convex-ish
+    objects the hull closely tracks the true silhouette, and it needs no
+    offscreen GL context (pyrender is unavailable in this image)."""
+    import cv2
+    from ..utils import geometry as geo
+    v = np.asarray(vertices, np.float64)
+    if len(v) > max_vertices:  # same subsample cap as the ADD/ADI metric path
+        v = v[np.linspace(0, len(v) - 1, max_vertices).astype(int)]
+    pts = geo.project_points(np.asarray(K), np.asarray(R), np.asarray(T), v)
+    pts = pts[np.isfinite(pts).all(-1)]
+    out = img.copy()
+    if len(pts) < 3:
+        return out
+    hull = cv2.convexHull(pts.astype(np.float32))
+    cv2.polylines(out, [hull.astype(np.int32)], True, color, thickness)
+    return out

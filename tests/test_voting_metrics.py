@@ -110,3 +110,21 @@ def test_evaluate_pose_predictions_end_to_end_dict():
     assert res["rep_per_class"][0]["REP05px"] == 50.0
     table = M.format_accuracy_table(res)
     assert "ADI.10d" in table and "cls_00" in table
+
+
+def test_drawing_helpers_produce_images():
+    """Keypoint + contour overlays (reference libs/utils.py:555-713): shape
+    preserved, pixels touched, out-of-frame/NaN points ignored."""
+    from kd6d_pose_adlp_tpu.tools.visualizer import (draw_2d_keypoints,
+                                                     draw_mesh_contour)
+    img = np.zeros((120, 160, 3), np.uint8)
+    kp = np.array([[40.0, 50.0], [80.0, 30.0], [np.nan, 1.0], [9999.0, 9999.0]])
+    out = draw_2d_keypoints(img, kp, scores=np.array([1.0, 0.2, 1.0, 1.0]))
+    assert out.shape == img.shape and out.sum() > 0 and img.sum() == 0
+
+    K = np.array([[100.0, 0, 80], [0, 100.0, 60], [0, 0, 1]])
+    R = np.eye(3)
+    T = np.array([0.0, 0.0, 1.0])
+    verts = np.random.default_rng(0).uniform(-0.1, 0.1, (500, 3))
+    out2 = draw_mesh_contour(img, R, T, K, verts)
+    assert out2.shape == img.shape and out2.sum() > 0
