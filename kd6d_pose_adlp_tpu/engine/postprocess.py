@@ -30,11 +30,52 @@ def build_postprocess(cfg: Config, consts: TaskConsts):
     `target.class_ids`, postprocess/postprocess.py:111-113; LINEMOD scenes
     carry one object)."""
     m, t = cfg.model, cfg.test
+    solve_class = _make_class_solver(cfg, consts)
+
+    @jax.jit
+    def predict(cls_logits, pred_reg, batch: Batch, rng):
+        gt_cls = jnp.clip(batch.class_ids[:, 0], 0)
+        out = solve_class(gt_cls, cls_logits, pred_reg, batch, rng)
+        out["valid"] = out["valid"] & (batch.class_ids[:, 0] >= 0)
+        return out
+
+    return predict
+
+
+def build_postprocess_multi(cfg: Config, consts: TaskConsts, n_fg: int):
+    """Detection-style postprocess: votes + solves PnP for EVERY foreground
+    class, returning per-class predictions (B, C, ...) with a validity mask
+    (any vote above threshold). Extends the reference's per-class loop
+    (postprocess/postprocess.py:95-202) to genuinely multi-object crops — the
+    single-prediction path (build_postprocess) keeps exact reference parity
+    for LINEMOD-style single-object eval."""
+    solve_class = _make_class_solver(cfg, consts)
 
     @jax.jit
     def predict(cls_logits, pred_reg, batch: Batch, rng):
         B = cls_logits.shape[0]
-        gt_cls = jnp.clip(batch.class_ids[:, 0], 0)
+
+        def per_class(c_and_rng):
+            c, key = c_and_rng
+            out = solve_class(jnp.full((B,), c, jnp.int32), cls_logits,
+                              pred_reg, batch, key)
+            return {k: out[k] for k in
+                    ("R", "T", "score", "cls", "n_inliers", "valid")}
+
+        keys = jax.random.split(rng, n_fg)
+        outs = jax.lax.map(per_class, (jnp.arange(n_fg, dtype=jnp.int32), keys))
+        # (C, B, ...) -> (B, C, ...)
+        return jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+
+    return predict
+
+
+def _make_class_solver(cfg: Config, consts: TaskConsts):
+    """Shared vote->RANSAC-EPnP(->LHM) pipeline for one class id per image."""
+    m, t = cfg.model, cfg.test
+
+    def solve(gt_cls, cls_logits, pred_reg, batch: Batch, rng):
+        B = cls_logits.shape[0]
         scores = jax.nn.sigmoid(cls_logits)
         s = jnp.take_along_axis(scores, gt_cls[:, None, None], axis=2)[..., 0]
         pred16 = select_class_pred(pred_reg, jnp.broadcast_to(gt_cls[:, None], s.shape))
@@ -79,11 +120,11 @@ def build_postprocess(cfg: Config, consts: TaskConsts):
         # result confidence = max vote score, reported as sqrt(sigmoid) like
         # the reference (postprocess/postprocess.py:57)
         conf = jnp.sqrt(jnp.max(jnp.where(votes.valid, votes.score, 0.0), axis=1))
-        has_votes = votes.valid.any(-1) & (batch.class_ids[:, 0] >= 0)
+        has_votes = votes.valid.any(-1)
         return dict(R=R, T=T, score=conf, cls=gt_cls, n_inliers=n_in,
                     valid=has_votes, kp2d=kp_internal, vote_valid=votes.valid)
 
-    return predict
+    return solve
 
 
 def apply_symmetry_host(R, cls_id: int, symmetry: Dict[int, tuple]):
