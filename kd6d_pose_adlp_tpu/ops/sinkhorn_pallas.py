@@ -156,28 +156,38 @@ def _solve_potentials(x, y, a_log, b_log, *, p, blur, scaling, reach,
     return tuple(outs)
 
 
-@functools.lru_cache(maxsize=1)
-def pallas_tpu_ok() -> bool:
-    """One-shot probe: can the Pallas kernel lower AND execute on the current
-    default backend? Compiles + runs a tiny representative problem. Any
-    failure (Mosaic lowering rules, libtpu mismatch, no TPU) -> False, and the
-    KD loss uses the pure-JAX solver instead — the benchmark/training path
-    must degrade, never die (VERDICT round 1, item 1)."""
-    if jax.default_backend() != "tpu":
-        return False
+def _probe_compiles(interpret: bool = False) -> bool:
+    """Compile + run a tiny representative problem CONCRETELY, even when
+    called from inside an active jit trace (the KD loss's gate fires during
+    the train-step trace): `ensure_compile_time_eval` keeps the probe's
+    arrays concrete — without it the outputs are tracers and bool() raises
+    TracerBoolConversionError, silently disabling Pallas for training."""
     try:
-        x = jnp.zeros((9, 16, 2), jnp.float32)  # 9 exercises the pad path
-        y = jnp.zeros((9, 16, 2), jnp.float32)
-        l = jnp.full((9, 16), -jnp.log(16.0), jnp.float32)
-        outs = _solve_potentials(x, y, l, l, p=2.0, blur=1e-3, scaling=0.5,
-                                 reach=0.5, diameter=2.0, debias=True)
-        jax.block_until_ready(outs)
-        return all(bool(jnp.isfinite(o).all()) for o in outs)
+        with jax.ensure_compile_time_eval():
+            x = jnp.zeros((9, 16, 2), jnp.float32)  # 9 exercises the pad path
+            y = jnp.zeros((9, 16, 2), jnp.float32)
+            l = jnp.full((9, 16), -jnp.log(16.0), jnp.float32)
+            outs = _solve_potentials(x, y, l, l, p=2.0, blur=1e-3, scaling=0.5,
+                                     reach=0.5, diameter=2.0, debias=True,
+                                     interpret=interpret)
+            jax.block_until_ready(outs)
+            return all(bool(jnp.isfinite(o).all()) for o in outs)
     except Exception as e:  # noqa: BLE001 — any lowering/runtime failure
         import sys
         print(f"[sinkhorn_pallas] probe failed ({type(e).__name__}); "
               f"falling back to pure-JAX Sinkhorn", file=sys.stderr)
         return False
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_tpu_ok() -> bool:
+    """One-shot probe: can the Pallas kernel lower AND execute on the current
+    default backend? Any failure (Mosaic lowering rules, libtpu mismatch, no
+    TPU) -> False, and the KD loss uses the pure-JAX solver instead — the
+    benchmark/training path must degrade, never die (VERDICT round 1)."""
+    if jax.default_backend() != "tpu":
+        return False
+    return _probe_compiles()
 
 
 def sinkhorn_divergence_pallas(x, y, a, b, *, p: float = 2.0, blur: float = 1e-3,

@@ -1,8 +1,13 @@
 """Component-level throughput probe on the real chip (profiling aid).
 
-Times, separately: student inference forward, teacher forward, full KD train
-step, and the device postprocess (voting + RANSAC-EPnP), at the reference
-batch and at a larger batch to show MXU-utilization headroom.
+Times, separately: student inference forward, teacher forward, baseline
+(no-teacher) train step, full KD train step, device postprocess
+(voting + RANSAC-EPnP), and the Sinkhorn solver (Pallas vs pure JAX),
+at the reference batch and at a larger batch to show MXU-utilization
+headroom. Also reports XLA cost-analysis FLOPs and the implied MFU per
+component, and (with --trace) saves a jax.profiler trace of the KD step.
+
+Run (TPU): python scripts/bench_components.py [--trace]
 """
 from __future__ import annotations
 
@@ -11,11 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+
+V5E_BF16_PEAK = 394e12
 
 
 def timeit(fn, *args, n=20, warmup=3):
@@ -29,7 +37,20 @@ def timeit(fn, *args, n=20, warmup=3):
     return (time.perf_counter() - t0) / n
 
 
+def flops_of(jitted, *args):
+    try:
+        return float(jitted.lower(*args).compile().cost_analysis()["flops"])
+    except Exception:
+        return float("nan")
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true",
+                    help="save a jax.profiler trace of the KD step")
+    ap.add_argument("--batches", type=int, nargs="*", default=[16, 64])
+    args = ap.parse_args()
+
     from kd6d_pose_adlp_tpu.config import Config, ModelConfig
     from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
     from kd6d_pose_adlp_tpu.engine.postprocess import build_postprocess
@@ -37,9 +58,12 @@ def main():
                                                  create_train_state,
                                                  make_optimizer)
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.ops import sinkhorn as sk
+    from kd6d_pose_adlp_tpu.ops.sinkhorn_pallas import (pallas_tpu_ok,
+                                                        sinkhorn_divergence_pallas)
 
-    results = {}
-    for bs in (16, 64):
+    results = {"platform": jax.devices()[0].platform}
+    for bs in args.batches:
         cfg = Config(model=ModelConfig(backbone="darknet_tiny_h",
                                        compute_dtype="bfloat16"))
         cfg_t = Config(model=ModelConfig(backbone="darknet53",
@@ -59,24 +83,69 @@ def main():
 
         fwd_s = jax.jit(lambda v, x: net.apply(v, x, train=False))
         fwd_t = jax.jit(lambda v, x: tnet.apply(v, x, train=False))
-        step = jax.jit(build_train_step(cfg, cfg_t, consts, net, tnet, opt,
-                                        distill=True))
+        step_kd = jax.jit(build_train_step(cfg, cfg_t, consts, net, tnet, opt,
+                                           distill=True))
+        step_base = jax.jit(build_train_step(cfg, None, consts, net, None, opt,
+                                             distill=False))
         post = build_postprocess(cfg, consts)
 
+        key = jax.random.PRNGKey(2)
         t_fs = timeit(fwd_s, svars, batch.images)
         t_ft = timeit(fwd_t, tvars, batch.images)
-        t_step = timeit(lambda s, b, r: step(s, tvars, b, r),
-                        state, batch, jax.random.PRNGKey(2))
+        t_kd = timeit(lambda s, b, r: step_kd(s, tvars, b, r), state, batch, key)
+        t_base = timeit(lambda s, b, r: step_base(s, None, b, r), state, batch, key)
         cls, reg = fwd_s(svars, batch.images)
         t_post = timeit(lambda c, g, b, r: post(c, g, b, r),
                         cls, reg, batch, jax.random.PRNGKey(3))
+
+        f_kd = flops_of(step_kd, state, tvars, batch, key)
+        f_base = flops_of(step_base, state, None, batch, key)
+        f_ft = flops_of(fwd_t, tvars, batch.images)
+        f_fs = flops_of(fwd_s, svars, batch.images)
+
+        mfu = lambda f, t: round(100 * f / t / V5E_BF16_PEAK, 2)
         results[f"bs{bs}"] = {
             "student_fwd_img_s": round(bs / t_fs, 1),
             "teacher_fwd_img_s": round(bs / t_ft, 1),
-            "kd_step_img_s": round(bs / t_step, 1),
+            "baseline_step_img_s": round(bs / t_base, 1),
+            "kd_step_img_s": round(bs / t_kd, 1),
             "postprocess_img_s": round(bs / t_post, 1),
-            "step_ms": round(1e3 * t_step, 2),
+            "kd_step_ms": round(1e3 * t_kd, 2),
+            "kd_minus_base_minus_tfwd_ms": round(1e3 * (t_kd - t_base - t_ft), 2),
+            "mfu_pct": {"student_fwd": mfu(f_fs, t_fs),
+                        "teacher_fwd": mfu(f_ft, t_ft),
+                        "baseline_step": mfu(f_base, t_base),
+                        "kd_step": mfu(f_kd, t_kd)},
+            "gflops": {"student_fwd": round(f_fs / 1e9, 1),
+                       "teacher_fwd": round(f_ft / 1e9, 1),
+                       "baseline_step": round(f_base / 1e9, 1),
+                       "kd_step": round(f_kd / 1e9, 1)},
         }
+
+        if args.trace and bs == args.batches[0]:
+            tdir = "outputs/profile/kd_step"
+            os.makedirs(tdir, exist_ok=True)
+            with jax.profiler.trace(tdir):
+                for _ in range(5):
+                    out = step_kd(state, tvars, batch, key)
+                jax.block_until_ready(out)
+            results["trace_dir"] = tdir
+
+    # Sinkhorn solver micro-bench at the production shape (B*8 problems)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (128, 64, 2)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 1, (128, 64, 2)), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.1, 1, (128, 64)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0.1, 1, (128, 64)), jnp.float32)
+    jax_fn = jax.jit(lambda *t: sk.batched_samples_loss(*t, gtype="sinkhorn"))
+    t_jax = timeit(jax_fn, x, y, a, b)
+    results["sinkhorn_128x64_ms"] = {"pure_jax": round(1e3 * t_jax, 3)}
+    if pallas_tpu_ok():
+        pal_fn = jax.jit(lambda *t: sinkhorn_divergence_pallas(*t))
+        results["sinkhorn_128x64_ms"]["pallas"] = round(
+            1e3 * timeit(pal_fn, x, y, a, b), 3)
+
     print(json.dumps(results, indent=1))
 
 

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--eval_n", type=int, default=64)
     ap.add_argument("--input_res", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--backbone", type=str, default="darknet_tiny_h")
+    ap.add_argument("--backbone_t", type=str, default="darknet53")
+    ap.add_argument("--weight_file_t", type=str, default="",
+                    help="teacher final.ckpt; with kd_weight>0 enables KD")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -45,14 +49,17 @@ def main():
     from kd6d_pose_adlp_tpu.engine.steps import build_forward
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
 
+    dtype = "bfloat16" if not args.cpu else "float32"
     cfg = Config(
-        model=ModelConfig(backbone="darknet_tiny_h", compute_dtype="bfloat16"
-                          if not args.cpu else "float32",
+        model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
                           input_res=args.input_res),
         solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
                             val_freq=args.steps, base_lr=args.lr),
         kd=KDConfig(weight=args.kd_weight),
     )
+    cfg_t = cfg.replace(model=ModelConfig(
+        backbone=args.backbone_t, compute_dtype=dtype,
+        input_res=args.input_res))
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=cfg.model.input_res,
                               max_objs=cfg.solver.max_objs, single_class=0, seed=0)
     consts = ds.consts()
@@ -84,6 +91,19 @@ def main():
     forward = build_forward(cfg, net)
     postprocess = build_postprocess(cfg, consts)
 
+    teacher_variables = None
+    if args.weight_file_t and args.kd_weight > 0:
+        import jax.numpy as jnp
+
+        from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
+        teacher_net = PoseNet(cfg=cfg_t.model, n_fg=cfg.data.n_fg)
+        t_init = teacher_net.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, args.input_res, args.input_res, 3)))
+        teacher_variables, n = load_params_loose(args.weight_file_t, t_init)
+        print(f"teacher: loaded {n} tensors from {args.weight_file_t}",
+              flush=True)
+
     results = {}
 
     def eval_fn(state, step):
@@ -91,12 +111,24 @@ def main():
         res = evaluator.valid(cfg, consts, variables, forward, postprocess,
                               eval_batches(), meshes, step=step,
                               working_dir=args.working_dir)
-        adi = [a.get("ADI.10d") for a in res["adi_per_class"] if a]
-        results["adi10"] = float(np.mean(adi)) if adi else 0.0
+        def avg(group, key):
+            vals = [a.get(key) for a in res[group] if a and key in a]
+            return round(float(np.mean(vals)), 2) if vals else 0.0
+        results.update({
+            "ADI.05d": avg("adi_per_class", "ADI.05d"),
+            "ADI.10d": avg("adi_per_class", "ADI.10d"),
+            "ADI.20d": avg("adi_per_class", "ADI.20d"),
+            "REP05px": avg("rep_per_class", "REP05px"),
+            "REP10px": avg("rep_per_class", "REP10px"),
+            "REP20px": avg("rep_per_class", "REP20px"),
+        })
 
-    train(cfg, consts, itertools.cycle(pool), eval_fn=eval_fn,
+    train(cfg, consts, itertools.cycle(pool),
+          cfg_t=cfg_t if teacher_variables is not None else None,
+          teacher_variables=teacher_variables, eval_fn=eval_fn,
           working_dir=args.working_dir, resume=False)
-    print(json.dumps({"final_ADI.10d": results.get("adi10")}))
+    print(json.dumps({"final": results, "backbone": args.backbone,
+                      "kd_weight": args.kd_weight, "steps": args.steps}))
 
 
 if __name__ == "__main__":

@@ -91,3 +91,20 @@ def test_pallas_pad_path_nonmultiple_of_group():
         got = sinkhorn_divergence_pallas(x, y, a, b, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_probe_is_trace_safe():
+    """The Pallas-availability probe fires inside the train-step trace; it
+    must stay concrete there (round-2 regression: TracerBoolConversionError
+    silently disabled Pallas during training)."""
+    from kd6d_pose_adlp_tpu.ops.sinkhorn_pallas import _probe_compiles
+
+    results = []
+
+    @jax.jit
+    def traced(x):
+        results.append(_probe_compiles(interpret=True))
+        return x + 1.0
+
+    traced(jnp.zeros(3))
+    assert results == [True]
