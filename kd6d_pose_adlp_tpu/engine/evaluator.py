@@ -119,3 +119,68 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
     results["table"] = table
     results["predictions"] = preds
     return results
+
+
+def detection_stats(cfg: Config, consts: TaskConsts, variables, forward_fn,
+                    eval_batches: Iterable, n_fg: int,
+                    rng: Optional[jax.Array] = None,
+                    verbose: bool = True) -> Dict:
+    """Detection-style evaluation over ALL classes (build_postprocess_multi):
+    per image, every foreground class is voted and solved; reports the
+    GT-class recovery rate (valid prediction for the true class), the mean
+    false positives per image (valid predictions for absent classes), and
+    the GT-class ADD/ADI<0.1d rate. Measures the cost/benefit of
+    detection-mode eval on multi-object-capable crops (round-1 review left
+    this unmeasured)."""
+    from .postprocess import build_postprocess_multi
+
+    def add_err(Rp, Tp, Rg, Tg, pts):
+        return float(np.linalg.norm((pts @ Rp.T + Tp) - (pts @ Rg.T + Tg),
+                                    axis=-1).mean())
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    predict = build_postprocess_multi(cfg, consts, n_fg)
+    kp3d = np.asarray(consts.kp3d)
+    diam = np.asarray(consts.diameters)
+
+    n_gt = n_rec = n_img = 0
+    n_fp = 0
+    n_adi = 0
+    for batch, metas in eval_batches:
+        cls_logits, pred_reg = forward_fn(variables, batch.images)
+        rng, sub = jax.random.split(rng)
+        out = jax.device_get(predict(cls_logits, pred_reg, batch, sub))
+        ids = np.asarray(batch.class_ids)
+        Rg = np.asarray(batch.rotations)
+        Tg = np.asarray(batch.translations)
+        B, G = ids.shape
+        for i in range(B):
+            n_img += 1
+            present = {int(c) for c in ids[i] if c >= 0}
+            n_fp += int(sum(bool(out["valid"][i, c])
+                            for c in range(n_fg) if c not in present))
+            for g in range(G):
+                c = int(ids[i, g])
+                if c < 0:
+                    continue
+                n_gt += 1
+                if not bool(out["valid"][i, c]):
+                    continue
+                n_rec += 1
+                e = add_err(np.asarray(out["R"][i, c], np.float64),
+                            np.asarray(out["T"][i, c], np.float64),
+                            Rg[i, g].astype(np.float64),
+                            Tg[i, g].astype(np.float64),
+                            kp3d[c].astype(np.float64))
+                if e < 0.1 * diam[c]:
+                    n_adi += 1
+    stats = {
+        "gt_objects": n_gt,
+        "recovery_rate": round(100.0 * n_rec / max(n_gt, 1), 2),
+        "adi10_rate": round(100.0 * n_adi / max(n_gt, 1), 2),
+        "false_pos_per_image": round(n_fp / max(n_img, 1), 3),
+        "images": n_img,
+    }
+    if verbose:
+        print(f"[detection mode] {stats}")
+    return stats

@@ -21,6 +21,9 @@ def main():
     p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
     p.add_argument("--ims_per_batch", type=int, default=24)  # reference test.py:114
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--eval_all_classes", action="store_true",
+                   help="also run detection-style eval over every class "
+                        "(recovery rate / false positives / ADI rate)")
     args = p.parse_args()
 
     import jax
@@ -59,6 +62,9 @@ def main():
     evaluator.valid(cfg, data.consts, variables, forward, postprocess,
                     data.eval_batches(), data.meshes, step=0,
                     working_dir=args.working_dir)
+    if args.eval_all_classes:
+        evaluator.detection_stats(cfg, data.consts, variables, forward,
+                                  data.eval_batches(), n_fg=cfg.data.n_fg)
 
 
 if __name__ == "__main__":
