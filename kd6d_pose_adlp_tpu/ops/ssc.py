@@ -53,12 +53,31 @@ def gt_box_spans(kp2d: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 def _rank_in_segment(scores: jnp.ndarray) -> jnp.ndarray:
     """scores (N, G) -> rank (N, G): position of each row in ascending order
-    per column (rank = argsort of argsort)."""
+    per column (rank = argsort of argsort). Kept for tests/reference; the
+    assignment hot path uses `_select_k_smallest` (top_k) instead — two full
+    sorts per level measured ~half the baseline train step's time on TPU."""
     order = jnp.argsort(scores, axis=0)
     ranks = jnp.zeros_like(order)
     n = scores.shape[0]
     pos = jnp.broadcast_to(jnp.arange(n)[:, None], order.shape)
     return ranks.at[order, jnp.arange(scores.shape[1])[None, :]].set(pos)
+
+
+def _select_k_smallest(r_lvl: jnp.ndarray, nk_lvl: jnp.ndarray,
+                       k_cap: int) -> jnp.ndarray:
+    """r_lvl (B, Al, G) random scores, nk_lvl (B, G) quotas (<= k_cap).
+    Returns (B, Al, G) bool: cell is among the nk smallest scores of its
+    (image, gt) column. Equivalent to rank(r) < nk but via top_k(k_cap) —
+    quotas never exceed positive_num, so a full sort is wasted work."""
+    B, Al, G = r_lvl.shape
+    kk = min(k_cap, Al)
+    r_bga = jnp.swapaxes(r_lvl, 1, 2)                       # (B, G, Al)
+    _, idx = jax.lax.top_k(-r_bga, kk)                      # (B, G, kk)
+    take = jnp.arange(kk)[None, None, :] < nk_lvl[:, :, None]
+    sel = jnp.zeros((B, G, Al), bool).at[
+        jnp.arange(B)[:, None, None], jnp.arange(G)[None, :, None], idx
+    ].set(take)                                             # indices unique per row
+    return jnp.swapaxes(sel, 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("input_res", "strides", "sizes",
@@ -100,9 +119,8 @@ def ssc_assign(rng: jax.Array,
 
     selected = jnp.zeros((B, A, G), bool)
     for li, (s, e) in enumerate(slices):
-        r_lvl = r[:, s:e, :]                                    # (B, Al, G)
-        ranks = jax.vmap(_rank_in_segment)(r_lvl)               # (B, Al, G)
-        sel = (ranks < nk[:, li, None, :]) & cand[:, s:e, :]
+        sel = _select_k_smallest(r[:, s:e, :], nk[:, li, :], positive_num)
+        sel = sel & cand[:, s:e, :]
         selected = selected.at[:, s:e, :].set(sel)
 
     is_pos = selected.any(-1)                                   # (B, A)

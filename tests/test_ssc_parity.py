@@ -129,3 +129,24 @@ def test_ssc_partition_and_counts_match_reference():
         n_ref = int((labels_ref[s:e] > 0).sum())
         assert n_ours == n_ref, (s, e, n_ours, n_ref)
     assert (labels > 0).sum() > 0
+
+
+def test_topk_selection_equals_rank_selection():
+    """The top_k-based sampler must select exactly the cells the
+    rank-of-argsort formulation selects (same random scores, same quotas)."""
+    import jax
+
+    from kd6d_pose_adlp_tpu.ops.ssc import _rank_in_segment, _select_k_smallest
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        B, Al, G, pn = 3, 50, 4, 10
+        r = rng.uniform(0, 1, (B, Al, G)).astype(np.float32)
+        # push some cells to +inf like non-candidates
+        r[rng.uniform(size=r.shape) < 0.6] = 1e9
+        nk = rng.integers(0, pn + 1, (B, G)).astype(np.int32)
+
+        ranks = jax.vmap(_rank_in_segment)(jnp.asarray(r))
+        ref = np.asarray(ranks) < nk[:, None, :]
+        got = np.asarray(_select_k_smallest(jnp.asarray(r), jnp.asarray(nk), pn))
+        np.testing.assert_array_equal(got, ref, err_msg=str(trial))
