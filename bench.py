@@ -72,6 +72,8 @@ def _pallas_value_check(jax):
 
 def main():
     jax, platform = _init_platform()
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

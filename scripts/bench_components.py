@@ -45,6 +45,8 @@ def flops_of(jitted, *args):
 
 
 def main():
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", action="store_true",
                     help="save a jax.profiler trace of the KD step")

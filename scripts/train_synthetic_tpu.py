@@ -37,6 +37,9 @@ def main():
     import dataclasses
 
     import jax
+
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import numpy as np

@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
+
     from kd6d_pose_adlp_tpu.config import load_yaml_config
     from kd6d_pose_adlp_tpu.data import loaders
     from kd6d_pose_adlp_tpu.engine import evaluator

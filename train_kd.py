@@ -86,6 +86,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
+
     from kd6d_pose_adlp_tpu.data import loaders
     from kd6d_pose_adlp_tpu.engine import evaluator
     from kd6d_pose_adlp_tpu.engine.loop import train
