@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--backbone_t", type=str, default="darknet53")
     ap.add_argument("--weight_file_t", type=str, default="",
                     help="teacher final.ckpt; with kd_weight>0 enables KD")
+    ap.add_argument("--use_pallas", type=int, default=1)
+    ap.add_argument("--wot_detach", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -57,8 +60,10 @@ def main():
         model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
                           input_res=args.input_res),
         solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
-                            val_freq=args.steps, base_lr=args.lr),
-        kd=KDConfig(weight=args.kd_weight),
+                            val_freq=args.steps, base_lr=args.lr,
+                            seed=args.seed),
+        kd=KDConfig(weight=args.kd_weight, use_pallas=bool(args.use_pallas),
+                    wot_detach=bool(args.wot_detach)),
     )
     cfg_t = cfg.replace(model=ModelConfig(
         backbone=args.backbone_t, compute_dtype=dtype,
