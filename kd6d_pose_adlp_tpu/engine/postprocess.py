@@ -103,8 +103,9 @@ def _make_class_solver(cfg: Config, consts: TaskConsts):
             # (scripts/pnp_noise_study.py) shows this halves p90 rotation
             # error at >=2px vote noise vs EPnP-refit alone
             from ..ops.epnp import lhm_refine, reprojection_errors
+            from ..ops.smallalg import inv3
             Kf = consts.K.astype(jnp.float32)
-            Kinv = jnp.linalg.inv(Kf)
+            Kinv = inv3(Kf)
 
             def refine(p3, p2, v, R0, T0):
                 pix = jnp.concatenate(

@@ -23,22 +23,24 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .smallalg import (eigh3, inv3, inv4, rotation_horn, smallest_eigvecs,
+                       solve_spd)
+
 _hp = jax.lax.Precision.HIGHEST
 _einsum = functools.partial(jnp.einsum, precision=_hp)
 _mm = functools.partial(jnp.matmul, precision=_hp)
 
 
 def umeyama(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Weighted rigid alignment Y ~ R X + T. X,Y (N,3); w (N,) >= 0."""
+    """Weighted rigid alignment Y ~ R X + T. X,Y (N,3); w (N,) >= 0.
+
+    Rotation via Horn's quaternion (ops/smallalg.rotation_horn) — pure
+    arithmetic instead of the TPU's iterative-CustomCall 3x3 SVD, and proper
+    (det=+1) by construction."""
     wn = w / jnp.maximum(w.sum(), 1e-12)
     mx = (wn[:, None] * X).sum(0)
     my = (wn[:, None] * Y).sum(0)
-    Xc, Yc = X - mx, Y - my
-    S = _einsum("ni,nj->ij", wn[:, None] * Yc, Xc)
-    U, _, Vt = jnp.linalg.svd(S)
-    d = jnp.sign(jnp.linalg.det(_mm(U, Vt)))
-    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, d]))
-    R = _mm(_mm(U, D), Vt)
+    R = rotation_horn(X - mx, Y - my, wn)
     T = my - _mm(R, mx[:, None])[:, 0]
     return R, T
 
@@ -49,7 +51,7 @@ def _control_points(pts3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     c0 = (wn[:, None] * pts3d).sum(0)
     d = pts3d - c0
     cov = _einsum("ni,nj->ij", wn[:, None] * d, d)
-    lam, vec = jnp.linalg.eigh(cov)                       # ascending
+    lam, vec = eigh3(cov)                                 # ascending, analytic
     lam = jnp.maximum(lam, 1e-6)
     axes = vec.T * jnp.sqrt(lam)[:, None]                 # (3,3) rows
     return jnp.concatenate([c0[None], c0[None] + axes], axis=0)
@@ -59,7 +61,7 @@ def _barycentric(pts3d: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
     """alphas (N,4) with pts = alphas @ ctrl, sum(alphas)=1."""
     Chom = jnp.concatenate([ctrl.T, jnp.ones((1, 4))], axis=0)   # (4,4)
     Phom = jnp.concatenate([pts3d.T, jnp.ones((1, pts3d.shape[0]))], axis=0)
-    return jnp.linalg.solve(Chom, Phom).T                         # (N,4)
+    return _mm(inv4(Chom), Phom).T                                # (N,4)
 
 
 def _build_MtM(alphas, pts2n, w):
@@ -103,7 +105,7 @@ def _gauss_newton_betas(betas, V, d2_world, iters: int = 8):
         dV = Vc[:, idx[:, 0], :] - Vc[:, idx[:, 1], :]            # (4,6,3)
         J = 2.0 * _einsum("pc,kpc->pk", diff, dV)                 # (6,4)
         JtJ = _mm(J.T, J) + 1e-9 * jnp.eye(4)
-        step = jnp.linalg.solve(JtJ, _mm(J.T, r[:, None])[:, 0])
+        step = solve_spd(JtJ, _mm(J.T, r[:, None])[:, 0], 4)
         return b - step
 
     return jax.lax.fori_loop(0, iters, body, betas)
@@ -126,7 +128,7 @@ def lhm_refine(pts3s: jnp.ndarray, rays: jnp.ndarray, w: jnp.ndarray,
     denom = (rays * rays).sum(-1, keepdims=True)
     # P_i = r r^T / (r^T r); keep factored: P x = r (r.x)/(r.r)
     sumP = _einsum("ni,nj->ij", wn[:, None] * rays / denom, rays)  # sum w P
-    Cmat = jnp.linalg.inv(jnp.eye(3) - sumP)
+    Cmat = inv3(jnp.eye(3) - sumP)
 
     def proj(x):  # (N,3) -> P_i x_i
         return rays * ((rays * x).sum(-1, keepdims=True) / denom)
@@ -168,8 +170,11 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
     ctrl_w = _control_points(pts3s, w)
     alphas = _barycentric(pts3s, ctrl_w)
     MtM = _build_MtM(alphas, pts2n, w)
-    _, vecs = jnp.linalg.eigh(MtM)                                # ascending
-    V = vecs[:, :4].T                                             # (4,12) kernel rows
+    # smallest-4 near-null subspace by inverse subspace iteration: Cholesky
+    # solves + matmuls only (ops/smallalg) — no 12x12 eigh CustomCall in the
+    # RANSAC hypothesis batch
+    _, vecs = smallest_eigvecs(MtM, k=4)                          # ascending
+    V = vecs.T                                                    # (4,12) kernel rows
     d2_world = _pairwise_d2(ctrl_w)
 
     def solve_with_init(betas0):
@@ -199,7 +204,10 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
     dv2 = c2[idx[:, 0]] - c2[idx[:, 1]]
     L = jnp.stack([(dv1 * dv1).sum(-1), 2 * (dv1 * dv2).sum(-1),
                    (dv2 * dv2).sum(-1)], axis=1)                  # (6,3)
-    sol = jnp.linalg.lstsq(L, d2_world)[0]
+    # least squares by (ridged) normal equations: 3x3, pure arithmetic
+    LtL = _mm(L.T, L)
+    LtL = LtL + (1e-9 * jnp.trace(LtL) + 1e-20) * jnp.eye(3)
+    sol = _mm(inv3(LtL), _mm(L.T, d2_world[:, None]))[:, 0]
     b11, b12, b22 = sol
     b1_2 = jnp.sqrt(jnp.maximum(jnp.abs(b11), 1e-12))
     b2_2 = jnp.sqrt(jnp.maximum(jnp.abs(b22), 1e-12)) * jnp.sign(b12) * jnp.sign(b11)

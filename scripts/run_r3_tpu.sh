@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-3 chip session. Sequential — the chip allows ONE process; sleep
+# between runs for the claim release. Evidence goes to the TRACKED results/
+# dir (round-2 logs lived in gitignored outputs/ and were lost with the
+# environment, VERDICT r1 item 9 hardening).
+set -x
+cd /root/repo
+mkdir -p outputs/ab results
+
+# 1. driver artifact: the headline bench (also warms the XLA compile cache)
+python bench.py > results/bench_r3.json 2> results/bench_r3.err
+sleep 300
+
+# 2. component profile incl. the smallalg-rewritten eval postprocess
+python scripts/bench_components.py > results/bench_components_r3.json \
+  2> results/bench_components_r3.err
+sleep 300
+
+# 3. strong teacher (30k steps, darknet53) — checkpoints did not survive the
+#    environment rotation, so retrain before any distillation run
+python scripts/train_synthetic_tpu.py --steps 30000 --batches 128 \
+  --batch_size 16 --eval_n 128 --backbone darknet53 \
+  --working_dir outputs/ab/teacher30k/ > results/ab_teacher30k.log 2>&1
+sleep 300
+
+# 4. student baseline re-pinned on current code (epnp/smallalg changed eval)
+python scripts/train_synthetic_tpu.py --steps 10000 --batches 64 \
+  --batch_size 16 --eval_n 128 --backbone darknet_tiny_h \
+  --working_dir outputs/ab/baseline_v3/ > results/ab_baseline.log 2>&1
+sleep 300
+
+# 5. headline distillation (kd_weight 1 — the recalibrated weight, round 2)
+python scripts/train_synthetic_tpu.py --steps 10000 --batches 64 \
+  --batch_size 16 --eval_n 128 --backbone darknet_tiny_h \
+  --kd_weight 1 --backbone_t darknet53 \
+  --weight_file_t outputs/ab/teacher30k/final.ckpt \
+  --working_dir outputs/ab/distilled_w1/ > results/ab_distilled_w1.log 2>&1
+sleep 300
+
+# 6-8. KD ablations (reference argument_kd.py axes: weightedOT, gtype, reach)
+python scripts/train_synthetic_tpu.py --steps 10000 --batches 64 \
+  --batch_size 16 --eval_n 128 --backbone darknet_tiny_h \
+  --kd_weight 1 --weighted_ot 0 --backbone_t darknet53 \
+  --weight_file_t outputs/ab/teacher30k/final.ckpt \
+  --working_dir outputs/ab/ablate_wot0/ > results/ab_wot0.log 2>&1
+sleep 300
+python scripts/train_synthetic_tpu.py --steps 10000 --batches 64 \
+  --batch_size 16 --eval_n 128 --backbone darknet_tiny_h \
+  --kd_weight 1 --gtype energy --backbone_t darknet53 \
+  --weight_file_t outputs/ab/teacher30k/final.ckpt \
+  --working_dir outputs/ab/ablate_energy/ > results/ab_energy.log 2>&1
+sleep 300
+python scripts/train_synthetic_tpu.py --steps 10000 --batches 64 \
+  --batch_size 16 --eval_n 128 --backbone darknet_tiny_h \
+  --kd_weight 1 --reach 0 --backbone_t darknet53 \
+  --weight_file_t outputs/ab/teacher30k/final.ckpt \
+  --working_dir outputs/ab/ablate_balanced/ > results/ab_balanced.log 2>&1
+
+echo R3-CHAIN-DONE

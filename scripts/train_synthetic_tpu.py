@@ -33,6 +33,13 @@ def main():
                     help="teacher final.ckpt; with kd_weight>0 enables KD")
     ap.add_argument("--use_pallas", type=int, default=1)
     ap.add_argument("--wot_detach", type=int, default=0)
+    # KD ablation axes (reference arguments/argument_kd.py:37-49)
+    ap.add_argument("--gtype", type=str, default="sinkhorn")
+    ap.add_argument("--reach", type=float, default=0.5,
+                    help="unbalanced OT reach; <=0 means balanced (None)")
+    ap.add_argument("--blur", type=float, default=0.001)
+    ap.add_argument("--scaling", type=float, default=0.5)
+    ap.add_argument("--weighted_ot", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -63,7 +70,10 @@ def main():
                             val_freq=args.steps, base_lr=args.lr,
                             seed=args.seed),
         kd=KDConfig(weight=args.kd_weight, use_pallas=bool(args.use_pallas),
-                    wot_detach=bool(args.wot_detach)),
+                    wot_detach=bool(args.wot_detach), gtype=args.gtype,
+                    reach=args.reach if args.reach > 0 else None,
+                    blur=args.blur, scaling=args.scaling,
+                    weighted_ot=bool(args.weighted_ot)),
     )
     cfg_t = cfg.replace(model=ModelConfig(
         backbone=args.backbone_t, compute_dtype=dtype,
