@@ -54,11 +54,16 @@ class ConvBNAct(nn.Module):
             kernel_init=kaiming_uniform,
             name="conv",
         )(x)
+        # BN arithmetic runs in compute dtype; flax keeps the mean/var
+        # reductions and the running stats in float32 regardless
+        # (force_float32_reductions=True default). Under bfloat16 this avoids
+        # materializing an f32 copy of every activation — the round-2 profile
+        # showed 2.3 ms/step of bf16<->f32 convert around the BN statistics.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch BatchNorm2d default momentum 0.1
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=jnp.float32,
             name="bn",
         )(x)

@@ -32,10 +32,10 @@ class PoseHead(nn.Module):
             bias_init=binit, name=name)
 
         cls_tower = [(conv(width, f"cls_conv{i}"),
-                      nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                      nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                    name=f"cls_gn{i}")) for i in range(self.n_conv)]
         pose_tower = [(conv(width, f"pose_conv{i}"),
-                       nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                       nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                     name=f"pose_gn{i}")) for i in range(self.n_conv)]
         prior_bias = -math.log((1 - self.prior) / self.prior)
         cls_logits = conv(self.n_fg, "cls_logits",
