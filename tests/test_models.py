@@ -74,3 +74,27 @@ def test_pose_net_train_mode_updates_batch_stats():
     old = jax.tree_util.tree_leaves(vars_["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_bf16_norms_keep_f32_stats_and_close_to_f32():
+    """bfloat16 compute: BN/GN arithmetic runs in bf16 but batch statistics,
+    running stats and params stay float32 (flax force_float32_reductions);
+    outputs stay within bf16 tolerance of the f32 path."""
+    x = np.random.RandomState(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    cfg32 = ModelConfig(backbone="darknet_tiny_h", input_res=64,
+                        compute_dtype="float32")
+    cfg16 = ModelConfig(backbone="darknet_tiny_h", input_res=64,
+                        compute_dtype="bfloat16")
+    net32 = PoseNet(cfg=cfg32, n_fg=15)
+    net16 = PoseNet(cfg=cfg16, n_fg=15)
+    vars_ = net32.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # identical param trees: bf16 config only changes activation dtypes
+    (c16, r16), mut = net16.apply(vars_, jnp.asarray(x), train=True,
+                                  mutable=["batch_stats"])
+    for leaf in jax.tree_util.tree_leaves(mut["batch_stats"]):
+        assert leaf.dtype == jnp.float32
+    assert c16.dtype == jnp.float32  # network returns f32 outputs
+    c32, r32 = net32.apply(vars_, jnp.asarray(x), train=False)
+    c16e, _ = net16.apply(vars_, jnp.asarray(x), train=False)
+    # bf16 has ~3 decimal digits; logits are O(5)
+    assert np.max(np.abs(np.asarray(c16e) - np.asarray(c32))) < 0.25
