@@ -73,7 +73,16 @@ class ConvBNAct(nn.Module):
 
 
 def max_pool_2x2(x):
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    """Non-overlapping 2x2 max pool via reshape+max.
+
+    Identical to nn.max_pool(window 2x2, stride 2) for even H/W, but its
+    gradient lowers to a comparison mask instead of XLA's SelectAndScatter —
+    the round-2 KD-step trace showed 0.8 ms/step of maxpool backward with the
+    windowed form."""
+    B, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.max(axis=(2, 4))
 
 
 def count_params(params) -> int:
