@@ -26,15 +26,25 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 394e12
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def timeit(fn, *args, n=20, warmup=5, reps=3):
+    """Median of `reps` timed blocks of `n` calls each, after `warmup` calls.
+    The first component-bench of round 3 showed early-process timings can be
+    wildly off through the remote tunnel (a 225%-'MFU' teacher forward), so
+    every number is a median with its spread checked by the caller."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / n)
+    times.sort()
+    med = times[len(times) // 2]
+    timeit.last_spread = (times[-1] - times[0]) / med
+    return med
 
 
 def flops_of(jitted, *args):
@@ -92,13 +102,19 @@ def main():
         post = build_postprocess(cfg, consts)
 
         key = jax.random.PRNGKey(2)
+        spreads = {}
         t_fs = timeit(fwd_s, svars, batch.images)
+        spreads["student_fwd"] = round(timeit.last_spread, 3)
         t_ft = timeit(fwd_t, tvars, batch.images)
+        spreads["teacher_fwd"] = round(timeit.last_spread, 3)
         t_kd = timeit(lambda s, b, r: step_kd(s, tvars, b, r), state, batch, key)
+        spreads["kd_step"] = round(timeit.last_spread, 3)
         t_base = timeit(lambda s, b, r: step_base(s, None, b, r), state, batch, key)
+        spreads["baseline_step"] = round(timeit.last_spread, 3)
         cls, reg = fwd_s(svars, batch.images)
         t_post = timeit(lambda c, g, b, r: post(c, g, b, r),
                         cls, reg, batch, jax.random.PRNGKey(3))
+        spreads["postprocess"] = round(timeit.last_spread, 3)
 
         f_kd = flops_of(step_kd, state, tvars, batch, key)
         f_base = flops_of(step_base, state, None, batch, key)
@@ -114,6 +130,7 @@ def main():
             "postprocess_img_s": round(bs / t_post, 1),
             "kd_step_ms": round(1e3 * t_kd, 2),
             "kd_minus_base_minus_tfwd_ms": round(1e3 * (t_kd - t_base - t_ft), 2),
+            "rel_spread": spreads,
             "mfu_pct": {"student_fwd": mfu(f_fs, t_fs),
                         "teacher_fwd": mfu(f_ft, t_ft),
                         "baseline_step": mfu(f_base, t_base),
