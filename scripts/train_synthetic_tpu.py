@@ -91,6 +91,11 @@ def main():
                            1000 + (b + 1) * args.batch_size), train=True)
             for b in range(args.batches)]
     print(f"pool of {args.batches} batches in {time.time()-t0:.0f}s", flush=True)
+    # Pin the whole pool on device ONCE (~13 MB/batch). Feeding host batches
+    # re-uploads through the remote-tunnel link every step and caps the run
+    # at ~74 images/sec regardless of model; device-resident batches restore
+    # compute-bound speed.
+    pool = jax.device_put(pool)
 
     def eval_batches():
         from kd6d_pose_adlp_tpu.data.pipeline import collate
