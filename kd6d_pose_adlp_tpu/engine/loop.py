@@ -24,13 +24,13 @@ from ..parallel.mesh import replicate, shard_batch
 from ..utils.checkpoint import (config_hash, restore_checkpoint,
                                 save_checkpoint, save_params)
 from ..utils.logging_utils import ScalarLogger, Throughput
-from .steps import (TrainState, build_train_step, create_train_state,
-                    make_optimizer)
+from .steps import (TrainState, build_multi_step, build_train_step,
+                    create_train_state, make_optimizer)
 
 
 def train(cfg: Config,
           consts: TaskConsts,
-          train_iter: Iterable[Batch],
+          train_iter: Optional[Iterable[Batch]],
           *,
           cfg_t: Optional[Config] = None,
           teacher_variables=None,
@@ -40,6 +40,8 @@ def train(cfg: Config,
           resume: bool = True,
           log_every: int = 10,
           vis_every: int = 0,
+          pool: Optional[Batch] = None,
+          steps_per_dispatch: int = 50,
           verbose: bool = True) -> TrainState:
     """Runs the full schedule; returns the final TrainState.
 
@@ -47,6 +49,10 @@ def train(cfg: Config,
     - `eval_fn(state, step)` is called every VAL_FREQ steps and at the end.
     - distillation is enabled iff `teacher_variables` is given and kd.weight>0
       (reference train.sh rows: kd_weight 0 => plain baseline).
+    - `pool`: alternatively, a device-resident Batch pytree with a leading
+      pool axis; the loop then scans `steps_per_dispatch` steps per host
+      dispatch (amortizes the per-dispatch RTT of the remote-tunnel TPU),
+      cycling batches in the same order `itertools.cycle` would.
     """
     working_dir = working_dir or cfg.working_dir
     os.makedirs(working_dir, exist_ok=True)
@@ -70,9 +76,16 @@ def train(cfg: Config,
         if verbose:
             print(f"resumed from {latest} @ step {start_step}")
 
-    step_fn = build_train_step(cfg, cfg_t, consts, net, teacher_net, optimizer,
-                               distill=distill)
-    donated = jax.jit(step_fn, donate_argnums=(0,))
+    if pool is None:
+        step_fn = build_train_step(cfg, cfg_t, consts, net, teacher_net,
+                                   optimizer, distill=distill)
+        donated = jax.jit(step_fn, donate_argnums=(0,))
+    else:
+        pool_size = int(jax.tree_util.tree_leaves(pool)[0].shape[0])
+        multi_fn = jax.jit(
+            build_multi_step(cfg, cfg_t, consts, net, teacher_net, optimizer,
+                             distill=distill, pool_size=pool_size),
+            donate_argnums=(0,), static_argnums=(5,))
 
     kd_debug = None
     if vis_every > 0 and distill:
@@ -96,6 +109,55 @@ def train(cfg: Config,
         f.write(cfg.to_json())
 
     step = start_step
+    if pool is not None:
+        bs = int(pool.images.shape[1])
+        import jax.numpy as jnp
+        while step < cfg.solver.max_iter:
+            boundary = min(
+                ((step // cfg.solver.val_freq) + 1) * cfg.solver.val_freq,
+                cfg.solver.max_iter)
+            k = int(min(steps_per_dispatch, boundary - step))
+            state, rng, metrics = multi_fn(
+                state, teacher_variables, pool, rng,
+                jnp.asarray(step % pool_size, jnp.int32), k)
+            step += k
+            meter.update(bs * k)
+
+            m = {kk: float(v) for kk, v in jax.device_get(metrics).items()}
+            m["images_per_sec"] = meter.images_per_sec
+            logger.log(step, {f"training/{kk}": v for kk, v in m.items()})
+            if verbose and (step % (log_every * 10) < k or step == boundary):
+                print(f"step {step}/{cfg.solver.max_iter} "
+                      f"cls {m['loss_cls']:.4f} reg {m['loss_reg']:.4f} "
+                      f"kd {m['loss_kd']:.4f} ips {m['images_per_sec']:.1f}",
+                      flush=True)
+
+            if kd_debug is not None and (
+                    step == k or (vis_every and step % vis_every < k)):
+                from ..tools.visualizer import vis_kd_clouds
+                batch = jax.tree_util.tree_map(
+                    lambda x: x[step % pool_size], pool)
+                x, yv, a, b, ok = jax.device_get(kd_debug(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    teacher_variables, batch, rng))
+                idx = int(np.argmax(ok)) if ok.any() else 0
+                vis_kd_clouds(x[idx], yv[idx], a[idx], b[idx], step,
+                              os.path.join(working_dir, "vis"))
+
+            if step % cfg.solver.val_freq == 0 or step == cfg.solver.max_iter:
+                if eval_fn is not None:
+                    eval_fn(state, step)
+                save_checkpoint(latest, state, step, cfg_hash=cfg_h)
+                meter.reset()
+
+        save_params(os.path.join(working_dir, "final.ckpt"),
+                    {"params": state.params, "batch_stats": state.batch_stats})
+        with open(os.path.join(working_dir, "info.txt"), "w") as f:
+            f.write(f"finished at: {time.strftime('%Y%m%d_%H%M%S')}\n"
+                    f"working_dir: {working_dir}\ncommands: {' '.join(sys.argv)}\n")
+        logger.close()
+        return state
+
     it = iter(train_iter)
     while step < cfg.solver.max_iter:
         batch = next(it)

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--scaling", type=float, default=0.5)
     ap.add_argument("--weighted_ot", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps_per_dispatch", type=int, default=50,
+                    help="train steps per host dispatch (lax.scan over the "
+                         "device pool); 0 = one dispatch per step")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -94,8 +97,17 @@ def main():
     # Pin the whole pool on device ONCE (~13 MB/batch). Feeding host batches
     # re-uploads through the remote-tunnel link every step and caps the run
     # at ~74 images/sec regardless of model; device-resident batches restore
-    # compute-bound speed.
-    pool = jax.device_put(pool)
+    # compute-bound speed. With steps_per_dispatch > 0 the pool is stacked
+    # into one (N, ...) pytree and the loop scans K steps per dispatch,
+    # amortizing the ~30 ms tunnel RTT (435 -> compiled-step speed).
+    if args.steps_per_dispatch > 0:
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *pool)
+        device_pool = jax.device_put(stacked)
+        pool = None
+    else:
+        pool = jax.device_put(pool)
+        device_pool = None
 
     def eval_batches():
         from kd6d_pose_adlp_tpu.data.pipeline import collate
@@ -146,9 +158,10 @@ def main():
             "REP20px": avg("rep_per_class", "REP20px"),
         })
 
-    train(cfg, consts, itertools.cycle(pool),
+    train(cfg, consts, itertools.cycle(pool) if pool is not None else None,
           cfg_t=cfg_t if teacher_variables is not None else None,
           teacher_variables=teacher_variables, eval_fn=eval_fn,
+          pool=device_pool, steps_per_dispatch=args.steps_per_dispatch,
           working_dir=args.working_dir, resume=False)
     print(json.dumps({"final": results, "backbone": args.backbone,
                       "kd_weight": args.kd_weight, "steps": args.steps}))
