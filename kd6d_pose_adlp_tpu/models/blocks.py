@@ -73,16 +73,17 @@ class ConvBNAct(nn.Module):
 
 
 def max_pool_2x2(x):
-    """Non-overlapping 2x2 max pool via reshape+max.
+    """2x2/stride-2 max pool (XLA windowed reduce; SelectAndScatter grad).
 
-    Identical to nn.max_pool(window 2x2, stride 2) for even H/W, but its
-    gradient lowers to a comparison mask instead of XLA's SelectAndScatter —
-    the round-2 KD-step trace showed 0.8 ms/step of maxpool backward with the
-    windowed form."""
-    B, H, W, C = x.shape
-    assert H % 2 == 0 and W % 2 == 0, (H, W)
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    return x.max(axis=(2, 4))
+    Do NOT replace this with reshape+max: jnp.max's gradient SPLITS the
+    cotangent equally among tied window elements, while SelectAndScatter
+    routes it to one winner. In bf16, 2-5% of windows hold exact ties and
+    the split-gradient variant measurably degrades training — an A/B bisect
+    on the 10k-step synthetic baseline showed final reg loss 0.56 vs 0.37
+    and ADI-0.1d 31.2 vs 51.6 with ONLY this op changed (outputs/ab/
+    baseline_bisect_{a,b}, 2026-08-17). The 0.8 ms/step backward cost of
+    the windowed form is the price of those 20 ADI points."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
 def count_params(params) -> int:

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("ckpt", type=str, help="final.ckpt (params+batch_stats)")
     ap.add_argument("--backbone", type=str, default="darknet_tiny_h")
     ap.add_argument("--eval_n", type=int, default=128)
+    ap.add_argument("--eval_offset", type=int, default=0,
+                    help="first eval scene index (score disjoint ranges)")
     ap.add_argument("--input_res", type=int, default=256)
     ap.add_argument("--working_dir", type=str, default="outputs/eval_ckpt/")
     ap.add_argument("--cpu", action="store_true")
@@ -57,8 +59,9 @@ def main():
     def eval_batches():
         from kd6d_pose_adlp_tpu.data.pipeline import collate
         tb = cfg.test.ims_per_batch
-        for start in range(0, args.eval_n, tb):
-            idx = [min(start + k, args.eval_n - 1) for k in range(tb)]
+        o = args.eval_offset
+        for start in range(o, o + args.eval_n, tb):
+            idx = [min(start + k, o + args.eval_n - 1) for k in range(tb)]
             samples = [ds.sample(i, train=False) for i in idx]
             yield collate(samples), [
                 dict(filename=f"synthetic_{i:06d}.png", K=s["meta"]["K"],

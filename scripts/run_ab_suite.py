@@ -1,0 +1,90 @@
+"""One-process A/B suite: baseline + distilled + KD ablations + seed repeat.
+
+Runs every experiment sequentially inside a single TPU process so the
+15-30 min axon claim latency is paid once, the device-resident batch pool
+and teacher params are shared, and identically-shaped train steps reuse
+the in-process XLA program cache. Writes per-run logs under outputs/ab/ and
+one suite summary JSON at the end.
+
+Run: nohup python scripts/run_ab_suite.py > results/ab_suite.log 2>&1 &
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import copy
+import json
+import time
+
+
+def specs(teacher):
+    base = dict(working_dir="", kd_weight=0.0, seed=0, gtype="sinkhorn",
+                reach=0.5, weighted_ot=1)
+    kd = dict(kd_weight=1.0, backbone_t="darknet53", weight_file_t=teacher)
+    return [
+        ("baseline_v4", dict(base)),
+        ("distilled_w1_v4", dict(base, **kd)),
+        ("ablate_wot0", dict(base, **kd, weighted_ot=0)),
+        ("ablate_energy", dict(base, **kd, gtype="energy")),
+        ("ablate_balanced", dict(base, **kd, reach=0.0)),
+        ("baseline_s1", dict(base, seed=1)),
+        ("distilled_w1_s1", dict(base, **kd, seed=1)),
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher", type=str,
+                    default="outputs/ab/teacher30k/final.ckpt")
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated run names to include")
+    ap.add_argument("--out", type=str, default="results/ab_suite.json")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import train_synthetic_tpu as tst
+
+    base_ns = _default_namespace(args.steps)
+    pool_cache, teacher_cache = {}, {}
+
+    keep = set(args.only.split(",")) if args.only else None
+    summary = {}
+    for name, spec in specs(args.teacher):
+        if keep is not None and name not in keep:
+            continue
+        ns = copy.copy(base_ns)
+        for k, v in spec.items():
+            setattr(ns, k, v)
+        ns.working_dir = f"outputs/ab/{name}/"
+        ns._pool_cache = pool_cache
+        ns._teacher_cache = teacher_cache
+        print(f"=== run {name}: {spec} ===", flush=True)
+        t0 = time.time()
+        out = tst.run(ns)
+        out["wall_s"] = round(time.time() - t0, 1)
+        summary[name] = out
+        print(json.dumps({name: out}), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    print("AB-SUITE-DONE", flush=True)
+
+
+def _default_namespace(steps):
+    """The trainer CLI's defaults as a Namespace (kept in one place so the
+    suite stays in sync with scripts/train_synthetic_tpu.py's argparser)."""
+    return argparse.Namespace(
+        steps=steps, batches=64, batch_size=16,
+        working_dir="outputs/ab/tmp/", kd_weight=0.0, eval_n=128,
+        input_res=256, lr=1e-3, backbone="darknet_tiny_h",
+        backbone_t="darknet53", weight_file_t="", use_pallas=1, wot_detach=0,
+        gtype="sinkhorn", reach=0.5, blur=0.001, scaling=0.5, weighted_ot=1,
+        seed=0, steps_per_dispatch=50, cpu=False)
+
+
+if __name__ == "__main__":
+    main()
