@@ -8,6 +8,7 @@ BatchNorm statistics.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -84,6 +85,38 @@ def max_pool_2x2(x):
     baseline_bisect_{a,b}, 2026-08-17). The 0.8 ms/step backward cost of
     the windowed form is the price of those 20 ADI points."""
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+@jax.custom_vjp
+def max_pool_2x2_fast(x):
+    """2x2/stride-2 max pool with SelectAndScatter SEMANTICS but an
+    elementwise backward: the custom VJP routes the whole cotangent to the
+    first maximal element of each window (same winner as XLA's
+    SelectAndScatter scan order), computed as a one-hot from argmax — no
+    scatter op in the gradient. Opt-in replacement for max_pool_2x2 where
+    the 0.8 ms/step SelectAndScatter backward matters; equivalence locked
+    by tests/test_blocks.py."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
+
+
+def _mp_fast_fwd(x):
+    B, H, W, C = x.shape
+    w = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 5, 2, 4)
+    w = w.reshape(B, H // 2, W // 2, C, 4)
+    idx = jnp.argmax(w, axis=-1).astype(jnp.int8)  # first max wins ties
+    return w.max(axis=-1), idx
+
+
+def _mp_fast_bwd(idx, g):
+    B, H2, W2, C = idx.shape
+    onehot = jax.nn.one_hot(idx.astype(jnp.int32), 4, dtype=g.dtype)
+    gx = onehot * g[..., None]                     # (B,H/2,W/2,C,4)
+    gx = gx.reshape(B, H2, W2, C, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+    return (gx.reshape(B, 2 * H2, 2 * W2, C),)
+
+
+max_pool_2x2_fast.defvjp(_mp_fast_fwd, _mp_fast_bwd)
 
 
 def count_params(params) -> int:

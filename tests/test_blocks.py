@@ -37,3 +37,20 @@ def test_max_pool_bf16_tie_gradient():
     g = jax.grad(lambda x: max_pool_2x2(x).astype(jnp.float32).sum())(x)
     g = np.asarray(g.astype(jnp.float32)).ravel()
     assert np.isclose(g.max(), 1.0), g
+
+
+def test_max_pool_fast_matches_windowed():
+    from kd6d_pose_adlp_tpu.models.blocks import max_pool_2x2_fast
+
+    rng = np.random.default_rng(0)
+    # random values + quantized-to-ties values + a fully tied window
+    xs = [rng.normal(size=(2, 8, 8, 3)).astype(np.float32),
+          np.round(rng.normal(size=(2, 8, 8, 3)) * 2).astype(np.float32) / 2,
+          np.ones((1, 4, 4, 2), np.float32)]
+    for x in xs:
+        x = jnp.asarray(x)
+        np.testing.assert_array_equal(np.asarray(max_pool_2x2_fast(x)),
+                                      np.asarray(max_pool_2x2(x)))
+        g_ref = jax.grad(lambda x: (max_pool_2x2(x) ** 2).sum())(x)
+        g_fast = jax.grad(lambda x: (max_pool_2x2_fast(x) ** 2).sum())(x)
+        np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
