@@ -21,10 +21,23 @@ import json
 import time
 
 
-def specs(teacher):
+def specs(teacher, scarce=False):
     base = dict(working_dir="", kd_weight=0.0, seed=0, gtype="sinkhorn",
                 reach=0.5, weighted_ot=1)
     kd = dict(kd_weight=1.0, backbone_t="darknet53", weight_file_t=teacher)
+    if scarce:
+        # LINEMOD-scale data scarcity (12x16=192 train images vs the
+        # reference ape split's ~183): the regime where the paper's KD
+        # effect actually lives — the teacher keeps its 2048-image pool.
+        sc = dict(batches=12)
+        return [
+            ("scarce_baseline_s0", dict(base, **sc)),
+            ("scarce_distilled_s0", dict(base, **sc, **kd)),
+            ("scarce_baseline_s1", dict(base, **sc, seed=1)),
+            ("scarce_distilled_s1", dict(base, **sc, **kd, seed=1)),
+            ("scarce_baseline_s2", dict(base, **sc, seed=2)),
+            ("scarce_distilled_s2", dict(base, **sc, **kd, seed=2)),
+        ]
     return [
         ("baseline_v4", dict(base)),
         ("distilled_w1_v4", dict(base, **kd)),
@@ -43,6 +56,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated run names to include")
+    ap.add_argument("--scarce", action="store_true",
+                    help="LINEMOD-scale scarce-data pairs instead")
     ap.add_argument("--out", type=str, default="results/ab_suite.json")
     args = ap.parse_args()
 
@@ -54,7 +69,7 @@ def main():
 
     keep = set(args.only.split(",")) if args.only else None
     summary = {}
-    for name, spec in specs(args.teacher):
+    for name, spec in specs(args.teacher, scarce=args.scarce):
         if keep is not None and name not in keep:
             continue
         ns = copy.copy(base_ns)
