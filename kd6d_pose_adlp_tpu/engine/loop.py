@@ -81,6 +81,9 @@ def train(cfg: Config,
                                    optimizer, distill=distill)
         donated = jax.jit(step_fn, donate_argnums=(0,))
     else:
+        assert mesh is None, (
+            "pool-scan mode is single-device (the pool would need a "
+            "batch-sharded layout); use the host loop with mesh")
         pool_size = int(jax.tree_util.tree_leaves(pool)[0].shape[0])
         multi_fn = jax.jit(
             build_multi_step(cfg, cfg_t, consts, net, teacher_net, optimizer,

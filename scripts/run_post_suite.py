@@ -94,9 +94,10 @@ def main():
             vals = [a.get(key) for a in res[group] if a and key in a]
             return round(float(np.mean(vals)), 2) if vals else 0.0
 
-        return {k: avg(g, k) for g, k in [
+        return {k.strip(): avg(g, k) for g, k in [
             ("adi_per_class", "ADI.05d"), ("adi_per_class", "ADI.10d"),
-            ("adi_per_class", "ADI.20d"), ("rep_per_class", "REP02px"),
+            ("adi_per_class", "ADI.20d"), ("auc_per_class", "AUC    "),
+            ("rep_per_class", "REP02px"),
             ("rep_per_class", "REP05px"), ("rep_per_class", "REP10px")]}
 
     for name in STUDENT_RUNS:
