@@ -151,7 +151,9 @@ def main():
     infer_fn = fwd  # build_forward is already jitted
     out = infer_fn(variables, images)
     jax.block_until_ready(out)
-    n_inf = int(os.environ.get("BENCH_STEPS", "30"))
+    # 30 forward calls finish in ~150 ms — under the tunnel's dispatch RTT
+    # noise floor; 100 keep the block >0.5 s for a stable rate
+    n_inf = int(os.environ.get("BENCH_INFER_STEPS", "100"))
     t0 = time.perf_counter()
     for _ in range(n_inf):
         out = infer_fn(variables, images)

@@ -27,13 +27,25 @@ V5E_BF16_PEAK = 394e12
 
 
 def timeit(fn, *args, n=20, warmup=5, reps=3):
-    """Median of `reps` timed blocks of `n` calls each, after `warmup` calls.
-    The first component-bench of round 3 showed early-process timings can be
-    wildly off through the remote tunnel (a 225%-'MFU' teacher forward), so
-    every number is a median with its spread checked by the caller."""
+    """Median of `reps` timed blocks, after `warmup` calls.
+
+    Through the remote tunnel a dispatch+block round trip costs ~30 ms of
+    RTT, so a block whose total device time is below that measures the
+    LINK, not the chip (round-3 logs: a '422% MFU' forward). The block
+    size auto-calibrates: n doubles until one block exceeds 300 ms, then
+    `reps` timed blocks run at that n. Spread across reps is reported via
+    timeit.last_spread for the caller to sanity-check."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        if time.perf_counter() - t0 > 0.3:
+            break
+        n *= 2
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
