@@ -29,7 +29,9 @@ def specs(teacher, scarce=False):
         # LINEMOD-scale data scarcity (12x16=192 train images vs the
         # reference ape split's ~183): the regime where the paper's KD
         # effect actually lives — the teacher keeps its 2048-image pool.
-        sc = dict(batches=12)
+        # val_freq 2000: overfitting curves — the baseline should degrade
+        # late on 192 images while the teacher-regularized student holds
+        sc = dict(batches=12, val_freq=2000)
         return [
             ("scarce_baseline_s0", dict(base, **sc)),
             ("scarce_distilled_s0", dict(base, **sc, **kd)),
@@ -98,7 +100,7 @@ def _default_namespace(steps):
         input_res=256, lr=1e-3, backbone="darknet_tiny_h",
         backbone_t="darknet53", weight_file_t="", use_pallas=1, wot_detach=0,
         gtype="sinkhorn", reach=0.5, blur=0.001, scaling=0.5, weighted_ot=1,
-        seed=0, steps_per_dispatch=50, cpu=False)
+        seed=0, val_freq=0, steps_per_dispatch=50, cpu=False)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--scaling", type=float, default=0.5)
     ap.add_argument("--weighted_ot", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val_freq", type=int, default=0,
+                    help="eval every N steps (0 = only at the end)")
     ap.add_argument("--steps_per_dispatch", type=int, default=50,
                     help="train steps per host dispatch (lax.scan over the "
                          "device pool); 0 = one dispatch per step")
@@ -77,8 +79,8 @@ def run(args):
         model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
                           input_res=args.input_res),
         solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
-                            val_freq=args.steps, base_lr=args.lr,
-                            seed=args.seed),
+                            val_freq=args.val_freq or args.steps,
+                            base_lr=args.lr, seed=args.seed),
         kd=KDConfig(weight=args.kd_weight, use_pallas=bool(args.use_pallas),
                     wot_detach=bool(args.wot_detach), gtype=args.gtype,
                     reach=args.reach if args.reach > 0 else None,
