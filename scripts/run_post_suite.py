@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--eval_n", type=int, default=384)
     ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--skip_fast_pool", action="store_true")
+    ap.add_argument("--skip_rescore", action="store_true")
     ap.add_argument("--out", type=str, default="results/post_suite.json")
     args = ap.parse_args()
 
@@ -100,13 +101,13 @@ def main():
             ("rep_per_class", "REP02px"),
             ("rep_per_class", "REP05px"), ("rep_per_class", "REP10px")]}
 
-    for name in STUDENT_RUNS:
+    for name in ([] if args.skip_rescore else STUDENT_RUNS):
         ckpt = f"outputs/ab/{name}/final.ckpt"
         if os.path.exists(ckpt):
             out[name] = rescore(ckpt, "darknet_tiny_h")
             print(json.dumps({name: out[name]}), flush=True)
     tck = "outputs/ab/teacher30k/final.ckpt"
-    if os.path.exists(tck):
+    if os.path.exists(tck) and not args.skip_rescore:
         out["teacher30k"] = rescore(tck, "darknet53")
         print(json.dumps({"teacher30k": out["teacher30k"]}), flush=True)
     with open(args.out, "w") as f:
@@ -122,8 +123,8 @@ def main():
             eval_n=128, input_res=256, lr=1e-3, backbone="darknet_tiny_h",
             backbone_t="darknet53", weight_file_t="", use_pallas=1,
             wot_detach=0, gtype="sinkhorn", reach=0.5, blur=0.001,
-            scaling=0.5, weighted_ot=1, seed=0, steps_per_dispatch=50,
-            cpu=False)
+            scaling=0.5, weighted_ot=1, seed=0, val_freq=0,
+            steps_per_dispatch=50, cpu=False)
         cache = {}
         base_ns._pool_cache = cache
         r_win = tst.run(base_ns)
