@@ -21,7 +21,7 @@ import json
 import time
 
 
-def specs(teacher, scarce=False):
+def specs(teacher, scarce=False, scarce_batches=12):
     base = dict(working_dir="", kd_weight=0.0, seed=0, gtype="sinkhorn",
                 reach=0.5, weighted_ot=1)
     kd = dict(kd_weight=1.0, backbone_t="darknet53", weight_file_t=teacher)
@@ -31,14 +31,16 @@ def specs(teacher, scarce=False):
         # effect actually lives — the teacher keeps its 2048-image pool.
         # val_freq 2000: overfitting curves — the baseline should degrade
         # late on 192 images while the teacher-regularized student holds
-        sc = dict(batches=12, val_freq=2000)
+        b = scarce_batches
+        sc = dict(batches=b, val_freq=2000)
+        tag = "scarce" if b == 12 else f"scarce{b}"
         return [
-            ("scarce_baseline_s0", dict(base, **sc)),
-            ("scarce_distilled_s0", dict(base, **sc, **kd)),
-            ("scarce_baseline_s1", dict(base, **sc, seed=1)),
-            ("scarce_distilled_s1", dict(base, **sc, **kd, seed=1)),
-            ("scarce_baseline_s2", dict(base, **sc, seed=2)),
-            ("scarce_distilled_s2", dict(base, **sc, **kd, seed=2)),
+            (f"{tag}_baseline_s0", dict(base, **sc)),
+            (f"{tag}_distilled_s0", dict(base, **sc, **kd)),
+            (f"{tag}_baseline_s1", dict(base, **sc, seed=1)),
+            (f"{tag}_distilled_s1", dict(base, **sc, **kd, seed=1)),
+            (f"{tag}_baseline_s2", dict(base, **sc, seed=2)),
+            (f"{tag}_distilled_s2", dict(base, **sc, **kd, seed=2)),
         ]
     return [
         ("baseline_v4", dict(base)),
@@ -60,6 +62,7 @@ def main():
                     help="comma-separated run names to include")
     ap.add_argument("--scarce", action="store_true",
                     help="LINEMOD-scale scarce-data pairs instead")
+    ap.add_argument("--scarce_batches", type=int, default=12)
     ap.add_argument("--out", type=str, default="results/ab_suite.json")
     args = ap.parse_args()
 
@@ -71,7 +74,8 @@ def main():
 
     keep = set(args.only.split(",")) if args.only else None
     summary = {}
-    for name, spec in specs(args.teacher, scarce=args.scarce):
+    for name, spec in specs(args.teacher, scarce=args.scarce,
+                           scarce_batches=args.scarce_batches):
         if keep is not None and name not in keep:
             continue
         ns = copy.copy(base_ns)
