@@ -18,11 +18,12 @@ from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
 from kd6d_pose_adlp_tpu.engine.loop import train
 
 
-def _setup(max_iter):
+def _setup(max_iter, val_freq=None):
     cfg = Config(
         model=ModelConfig(backbone="darknet_tiny_h", input_res=64),
         solver=SolverConfig(ims_per_batch=2, max_iter=max_iter,
-                            val_freq=max_iter, max_objs=2, max_pos=32, seed=0),
+                            val_freq=val_freq or max_iter, max_objs=2,
+                            max_pos=32, seed=0),
         kd=KDConfig(weight=0.0),
     )
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=64,
@@ -77,3 +78,16 @@ def test_pool_scan_multi_dispatch_cycling(tmp_path):
                     jax.tree_util.tree_leaves(st_p.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_pool_scan_val_freq_boundaries(tmp_path):
+    # val_freq=2 over 6 steps with k=4: dispatches must clamp to the eval
+    # boundaries (2,2,2) and eval_fn must fire at steps 2, 4, 6
+    cfg, consts, pool, stacked = _setup(max_iter=6, val_freq=2)
+    evals = []
+    st = train(cfg, consts, None, pool=jax.device_put(stacked),
+               steps_per_dispatch=4,
+               eval_fn=lambda state, step: evals.append(step),
+               working_dir=str(tmp_path / "vf"), resume=False, verbose=False)
+    assert int(st.step) == 6
+    assert evals == [2, 4, 6], evals
