@@ -24,6 +24,20 @@ def last_json(path: str):
     return out
 
 
+def suite_rows(pattern: str = "results/ab_*.json"):
+    """Rows from one-process suite JSONs ({run_name: {final: ...}})."""
+    rows = []
+    for path in sorted(glob.glob(pattern)):
+        try:
+            d = json.load(open(path))
+        except json.JSONDecodeError:
+            continue
+        for name, j in d.items():
+            if isinstance(j, dict) and "final" in j:
+                rows.append((name, j))
+    return rows
+
+
 def main(pattern: str = "results/ab_*.log"):
     rows = []
     for path in sorted(glob.glob(pattern)):
@@ -33,6 +47,8 @@ def main(pattern: str = "results/ab_*.log"):
             rows.append((name, None))
             continue
         rows.append((name, j))
+    seen = {n for n, _ in rows}
+    rows += [(n, j) for n, j in suite_rows() if n not in seen]
     cols = ["ADI.05d", "ADI.10d", "ADI.20d", "REP05px", "REP10px", "REP20px"]
     print("| Run | backbone | kd_w | " + " | ".join(cols) + " |")
     print("|" + "---|" * (len(cols) + 3))
