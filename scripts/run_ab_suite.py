@@ -21,10 +21,11 @@ import json
 import time
 
 
-def specs(teacher, scarce=False, scarce_batches=12):
+def specs(teacher, scarce=False, scarce_batches=12, kd_weight=1.0):
     base = dict(working_dir="", kd_weight=0.0, seed=0, gtype="sinkhorn",
                 reach=0.5, weighted_ot=1)
-    kd = dict(kd_weight=1.0, backbone_t="darknet53", weight_file_t=teacher)
+    kd = dict(kd_weight=kd_weight, backbone_t="darknet53",
+              weight_file_t=teacher)
     if scarce:
         # LINEMOD-scale data scarcity (12x16=192 train images vs the
         # reference ape split's ~183): the regime where the paper's KD
@@ -34,6 +35,8 @@ def specs(teacher, scarce=False, scarce_batches=12):
         b = scarce_batches
         sc = dict(batches=b, val_freq=2000)
         tag = "scarce" if b == 12 else f"scarce{b}"
+        if kd_weight != 1.0:
+            tag = f"{tag}w{kd_weight:g}"
         return [
             (f"{tag}_baseline_s0", dict(base, **sc)),
             (f"{tag}_distilled_s0", dict(base, **sc, **kd)),
@@ -63,6 +66,8 @@ def main():
     ap.add_argument("--scarce", action="store_true",
                     help="LINEMOD-scale scarce-data pairs instead")
     ap.add_argument("--scarce_batches", type=int, default=12)
+    ap.add_argument("--kd_weight", type=float, default=1.0,
+                    help="weight for the distilled arms")
     ap.add_argument("--out", type=str, default="results/ab_suite.json")
     args = ap.parse_args()
 
@@ -75,7 +80,8 @@ def main():
     keep = set(args.only.split(",")) if args.only else None
     summary = {}
     for name, spec in specs(args.teacher, scarce=args.scarce,
-                           scarce_batches=args.scarce_batches):
+                           scarce_batches=args.scarce_batches,
+                           kd_weight=args.kd_weight):
         if keep is not None and name not in keep:
             continue
         ns = copy.copy(base_ns)
