@@ -81,10 +81,15 @@ def train(cfg: Config,
                                    optimizer, distill=distill)
         donated = jax.jit(step_fn, donate_argnums=(0,))
     else:
-        assert mesh is None, (
-            "pool-scan mode is single-device (the pool would need a "
-            "batch-sharded layout); use the host loop with mesh")
         pool_size = int(jax.tree_util.tree_leaves(pool)[0].shape[0])
+        if mesh is not None:
+            # DP pool-scan: the pool keeps its leading (pool) axis whole and
+            # shards the per-batch axis over 'data'; params are replicated
+            # below and XLA inserts the gradient psums from the global-sum
+            # losses exactly as in the host path
+            from jax.sharding import NamedSharding, PartitionSpec
+            pool = jax.device_put(pool, NamedSharding(
+                mesh, PartitionSpec(None, "data")))
         multi_fn = jax.jit(
             build_multi_step(cfg, cfg_t, consts, net, teacher_net, optimizer,
                              distill=distill, pool_size=pool_size),

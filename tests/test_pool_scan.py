@@ -80,6 +80,34 @@ def test_pool_scan_multi_dispatch_cycling(tmp_path):
                                    rtol=1e-2, atol=1e-3)
 
 
+def test_pool_scan_dp_mesh_matches_single_device(tmp_path):
+    # the same pool-scan schedule over a 4-device DP mesh must track the
+    # single-device run (global-sum losses -> psum'd grads; params
+    # replicated); tolerance as in the multi-dispatch test
+    import dataclasses
+
+    from kd6d_pose_adlp_tpu.parallel.mesh import make_mesh
+
+    cfg, consts, pool, stacked = _setup(max_iter=4)
+    # make_optimizer divides base_lr by the device count (reference
+    # convention, libs/train_libs.py) — halve the single-device LR so both
+    # runs apply identical updates
+    cfg_single = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, base_lr=cfg.solver.base_lr / 2))
+    st_single = train(cfg_single, consts, None, pool=jax.device_put(stacked),
+                      steps_per_dispatch=4,
+                      working_dir=str(tmp_path / "one"), resume=False,
+                      verbose=False)
+    st_mesh = train(cfg, consts, None, pool=stacked, mesh=make_mesh(2),
+                    steps_per_dispatch=4,
+                    working_dir=str(tmp_path / "mesh"), resume=False,
+                    verbose=False)
+    for a, b in zip(jax.tree_util.tree_leaves(st_single.params),
+                    jax.tree_util.tree_leaves(st_mesh.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.max(np.abs(a - b)) < 5e-3
+
+
 def test_pool_scan_val_freq_boundaries(tmp_path):
     # val_freq=2 over 6 steps with k=4: dispatches must clamp to the eval
     # boundaries (2,2,2) and eval_fn must fire at steps 2, 4, 6
