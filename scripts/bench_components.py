@@ -115,9 +115,26 @@ def main():
 
         key = jax.random.PRNGKey(2)
         spreads = {}
-        t_fs = timeit(fwd_s, svars, batch.images)
+        # cycle DISTINCT inputs per call: repeated identical (executable,
+        # args) executions short-circuit somewhere in the remote runtime
+        # and report impossible rates (a 278%-"MFU" teacher forward at bs16
+        # even with >0.3 s timing blocks); varying the input defeats it
+        imgs = [jax.device_put(batch.images + jnp.float32(i) * 1e-6)
+                for i in range(8)]
+        jax.block_until_ready(imgs)
+        cyc = {"i": 0}
+
+        def fwd_s_cyc(v):
+            cyc["i"] = (cyc["i"] + 1) % len(imgs)
+            return fwd_s(v, imgs[cyc["i"]])
+
+        def fwd_t_cyc(v):
+            cyc["i"] = (cyc["i"] + 1) % len(imgs)
+            return fwd_t(v, imgs[cyc["i"]])
+
+        t_fs = timeit(fwd_s_cyc, svars)
         spreads["student_fwd"] = round(timeit.last_spread, 3)
-        t_ft = timeit(fwd_t, tvars, batch.images)
+        t_ft = timeit(fwd_t_cyc, tvars)
         spreads["teacher_fwd"] = round(timeit.last_spread, 3)
         t_kd = timeit(lambda s, b, r: step_kd(s, tvars, b, r), state, batch, key)
         spreads["kd_step"] = round(timeit.last_spread, 3)
