@@ -149,14 +149,19 @@ def main():
                 (infer_batch // batch_size + 1, 1, 1, 1))[:infer_batch]
     ).astype(jnp.float32)
     infer_fn = fwd  # build_forward is already jitted
-    out = infer_fn(variables, images)
+    # DISTINCT input per call: repeated identical (executable, args)
+    # executions short-circuit in the remote runtime and inflate the rate
+    # (scripts/bench_components.py saw a 278%-"MFU" forward); 100 calls
+    # keep the block >0.5 s, well past the ~30 ms dispatch RTT floor
+    img_cycle = [jax.device_put(images + jnp.float32(i) * 1e-6)
+                 for i in range(8)]
+    out = infer_fn(variables, img_cycle[0])
     jax.block_until_ready(out)
-    # 30 forward calls finish in ~150 ms — under the tunnel's dispatch RTT
-    # noise floor; 100 keep the block >0.5 s for a stable rate
+    jax.block_until_ready(img_cycle)
     n_inf = int(os.environ.get("BENCH_INFER_STEPS", "100"))
     t0 = time.perf_counter()
-    for _ in range(n_inf):
-        out = infer_fn(variables, images)
+    for i in range(n_inf):
+        out = infer_fn(variables, img_cycle[i % 8])
     jax.block_until_ready(out)
     infer_ips = infer_batch * n_inf / (time.perf_counter() - t0)
 
