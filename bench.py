@@ -79,7 +79,7 @@ def main():
 
     from kd6d_pose_adlp_tpu.config import Config, ModelConfig
     from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
-    from kd6d_pose_adlp_tpu.engine.steps import (build_forward,
+    from kd6d_pose_adlp_tpu.engine.steps import (
                                                  build_train_step,
                                                  create_train_state,
                                                  make_optimizer)
@@ -142,28 +142,38 @@ def main():
 
     # --- pure student inference (darknet_tiny_h forward, eval mode) ---
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "64"))
-    fwd = build_forward(cfg, net)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     images = jnp.asarray(
         np.tile(np.asarray(batch.images, np.float32),
                 (infer_batch // batch_size + 1, 1, 1, 1))[:infer_batch]
     ).astype(jnp.float32)
-    infer_fn = fwd  # build_forward is already jitted
-    # DISTINCT input per call: repeated identical (executable, args)
-    # executions short-circuit in the remote runtime and inflate the rate
-    # (scripts/bench_components.py saw a 278%-"MFU" forward); 100 calls
-    # keep the block >0.5 s, well past the ~30 ms dispatch RTT floor
-    img_cycle = [jax.device_put(images + jnp.float32(i) * 1e-6)
-                 for i in range(8)]
-    out = infer_fn(variables, img_cycle[0])
+    # Scan-chained timing: K forwards with a true data dependence inside
+    # ONE dispatched program. Host-looped calls with repeated (executable,
+    # args) replay from a cache in the remote runtime and report impossible
+    # rates (226%-"MFU" forwards in scripts/bench_components.py), and even
+    # input-cycling doesn't defeat it; the chained scan measures pure
+    # device throughput.
+    K_INF = int(os.environ.get("BENCH_INFER_STEPS", "32"))
+
+    @jax.jit
+    def infer_k(v, x):
+        def body(c, _):
+            cls, reg = net.apply(v, c, train=False)
+            bump = (cls.mean() * 1e-20).astype(c.dtype)
+            return c + bump, None
+        c, _ = jax.lax.scan(body, x, None, length=K_INF)
+        return c
+
+    out = infer_k(variables, images)
     jax.block_until_ready(out)
-    jax.block_until_ready(img_cycle)
-    n_inf = int(os.environ.get("BENCH_INFER_STEPS", "100"))
+    reps = 4
     t0 = time.perf_counter()
-    for i in range(n_inf):
-        out = infer_fn(variables, img_cycle[i % 8])
+    for _ in range(reps):
+        # feed each rep's (epsilon-perturbed) output back in: every call has
+        # fresh args, so no replay layer can skip it
+        out = infer_k(variables, out)
     jax.block_until_ready(out)
-    infer_ips = infer_batch * n_inf / (time.perf_counter() - t0)
+    infer_ips = infer_batch * K_INF * reps / (time.perf_counter() - t0)
 
     if np.isfinite(flops_per_step):
         v100_ips = V100_FP32_PEAK * V100_MFU / (flops_per_step / batch_size)
