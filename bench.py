@@ -140,9 +140,31 @@ def main():
     dt = time.perf_counter() - t0
     ips = batch_size * n_steps / dt
 
+    # Pure device step rate via the production multi-step (K steps scanned
+    # in one dispatch, state threading through — replay-proof and free of
+    # the tunnel's per-dispatch overhead); `ips` above stays the headline
+    # because it reflects what a host-driven loop actually sustains
+    from kd6d_pose_adlp_tpu.engine.steps import build_multi_step
+    K_STEP = 8
+    multi = jax.jit(build_multi_step(cfg, cfg_t, consts, net, teacher_net,
+                                     opt, distill=True, pool_size=1),
+                    donate_argnums=(0,), static_argnums=(5,))
+    pool1 = jax.tree_util.tree_map(lambda x: x[None], batch)
+    mstate, mrng, m = multi(state, t_vars, pool1, rng,
+                            jnp.zeros((), jnp.int32), K_STEP)
+    jax.block_until_ready(m["loss_total"])
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mstate, mrng, m = multi(mstate, t_vars, pool1, mrng,
+                                jnp.zeros((), jnp.int32), K_STEP)
+    jax.block_until_ready(m["loss_total"])
+    device_ips = batch_size * K_STEP * reps / (time.perf_counter() - t0)
+
     # --- pure student inference (darknet_tiny_h forward, eval mode) ---
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "64"))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # state was donated into the multi-step above — use its successor
+    variables = {"params": mstate.params, "batch_stats": mstate.batch_stats}
     images = jnp.asarray(
         np.tile(np.asarray(batch.images, np.float32),
                 (infer_batch // batch_size + 1, 1, 1, 1))[:infer_batch]
@@ -159,7 +181,9 @@ def main():
     def infer_k(v, x):
         def body(c, _):
             cls, reg = net.apply(v, c, train=False)
-            bump = (cls.mean() * 1e-20).astype(c.dtype)
+            # 1e-6, not tinier: a bump below f32 eps underflows (c+bump==c),
+            # the carry freezes, and content-addressed replay kicks in
+            bump = (cls.mean() * 1e-6).astype(c.dtype)
             return c + bump, None
         c, _ = jax.lax.scan(body, x, None, length=K_INF)
         return c
@@ -186,6 +210,7 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "device_step_images_per_sec": round(device_ips, 2),
         "infer_images_per_sec": round(infer_ips, 2),
         "platform": platform,
         "pallas": bool(pallas_tpu_ok()),

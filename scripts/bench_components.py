@@ -126,7 +126,11 @@ def main():
             def prog(v, x):
                 def body(c, _):
                     out = apply_fn(v, c)
-                    bump = (out[0].mean() * 1e-20).astype(c.dtype)
+                    # NOTE 1e-6, not epsilon-tiny: a 1e-20 bump underflows in f32
+                    # (c + bump == c bit-exactly), the carry never changes,
+                    # and a content-addressed execution cache replays the
+                    # whole call (observed 4497%-MFU artifacts)
+                    bump = (out[0].mean() * 1e-6).astype(c.dtype)
                     return c + bump, None
                 c, _ = jax.lax.scan(body, x, None, length=k)
                 return c
