@@ -53,6 +53,7 @@ def specs(teacher, scarce=False, scarce_batches=12, kd_weight=1.0):
         ("ablate_balanced", dict(base, **kd, reach=0.0)),
         ("baseline_s1", dict(base, seed=1)),
         ("distilled_w1_s1", dict(base, **kd, seed=1)),
+        ("ablate_wot0_s1", dict(base, **kd, weighted_ot=0, seed=1)),
     ]
 
 
