@@ -75,7 +75,9 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import train_synthetic_tpu as tst
 
-    base_ns = _default_namespace(args.steps)
+    base_ns = tst.build_parser().parse_args([])
+    base_ns.steps = args.steps
+    base_ns.eval_n = 128  # suite standard (CLI default is 64)
     pool_cache, teacher_cache = {}, {}
 
     keep = set(args.only.split(",")) if args.only else None
@@ -101,17 +103,6 @@ def main():
             json.dump(summary, f, indent=1)
     print("AB-SUITE-DONE", flush=True)
 
-
-def _default_namespace(steps):
-    """The trainer CLI's defaults as a Namespace (kept in one place so the
-    suite stays in sync with scripts/train_synthetic_tpu.py's argparser)."""
-    return argparse.Namespace(
-        steps=steps, batches=64, batch_size=16,
-        working_dir="outputs/ab/tmp/", kd_weight=0.0, eval_n=128,
-        input_res=256, lr=1e-3, backbone="darknet_tiny_h",
-        backbone_t="darknet53", weight_file_t="", use_pallas=1, wot_detach=0,
-        gtype="sinkhorn", reach=0.5, blur=0.001, scaling=0.5, weighted_ot=1,
-        seed=0, val_freq=0, steps_per_dispatch=50, cpu=False)
 
 
 if __name__ == "__main__":

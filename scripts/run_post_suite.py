@@ -117,14 +117,10 @@ def main():
         import train_synthetic_tpu as tst
         from kd6d_pose_adlp_tpu.models import blocks, darknet
 
-        base_ns = argparse.Namespace(
-            steps=args.steps, batches=64, batch_size=16,
-            working_dir="outputs/ab/fastpool_off/", kd_weight=0.0,
-            eval_n=128, input_res=256, lr=1e-3, backbone="darknet_tiny_h",
-            backbone_t="darknet53", weight_file_t="", use_pallas=1,
-            wot_detach=0, gtype="sinkhorn", reach=0.5, blur=0.001,
-            scaling=0.5, weighted_ot=1, seed=0, val_freq=0,
-            steps_per_dispatch=50, cpu=False)
+        base_ns = tst.build_parser().parse_args([])
+        base_ns.steps = args.steps
+        base_ns.eval_n = 128
+        base_ns.working_dir = "outputs/ab/fastpool_off/"
         cache = {}
         base_ns._pool_cache = cache
         r_win = tst.run(base_ns)

@@ -17,7 +17,10 @@ import json
 import time
 
 
-def main():
+def build_parser():
+    """The CLI parser — also the single source of defaults for programmatic
+    callers (scripts/run_ab_suite.py uses parse_args([]) to build its base
+    namespace, so new flags can never drift out of sync)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batches", type=int, default=64)
@@ -47,7 +50,11 @@ def main():
                     help="train steps per host dispatch (lax.scan over the "
                          "device pool); 0 = one dispatch per step")
     ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args()
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
     out = run(args)
     print(json.dumps(out))
 
