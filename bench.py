@@ -110,6 +110,17 @@ def main():
     t_vars = teacher_net.init(
         jax.random.PRNGKey(1),
         jnp.zeros((1, cfg.model.input_res, cfg.model.input_res, 3)))
+    fold_bn = os.environ.get("BENCH_FOLD_BN", "1") == "1"
+    if fold_bn:
+        # production teacher path (train_kd.py --fold_teacher_bn, default):
+        # the frozen teacher's BN folded into conv weights at load time
+        import dataclasses
+
+        from kd6d_pose_adlp_tpu.utils.fold_bn import fold_batchnorm
+        t_vars = fold_batchnorm(t_vars)
+        cfg_t = cfg_t.replace(model=dataclasses.replace(
+            cfg_t.model, bn_folded=True))
+        teacher_net = PoseNet(cfg=cfg_t.model, n_fg=n_fg)
     opt = make_optimizer(cfg)
     state = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
 
@@ -213,6 +224,7 @@ def main():
         "device_step_images_per_sec": round(device_ips, 2),
         "infer_images_per_sec": round(infer_ips, 2),
         "platform": platform,
+        "teacher_bn_folded": fold_bn,
         "pallas": bool(pallas_tpu_ok()),
         "pallas_vs_jax_rel_diff": pallas_diff,
         "step_tflops": round(flops_per_step / 1e12, 3)

@@ -79,6 +79,9 @@ class ModelConfig:
     input_res: int = 256  # DZI crop size (reference libs/dzi_libs.py:12)
     # compute dtype for conv towers ("float32" | "bfloat16"); params stay f32
     compute_dtype: str = "float32"
+    # BN folded into conv weights (inference/frozen-teacher form; params
+    # must come from utils/fold_bn.fold_batchnorm — never train with this)
+    bn_folded: bool = False
 
     @property
     def feat_channels(self) -> Tuple[int, ...]:

@@ -72,6 +72,9 @@ class SyntheticPoseDataset:
     internal_wh: Tuple[int, int] = (640, 480)
     max_objs: int = 8
     single_class: Optional[int] = None  # LINEMOD-style one-object scenes
+    # restrict sampled classes to a subset (pretext pretraining uses classes
+    # disjoint from the downstream single_class target); None = all
+    classes: Optional[Tuple[int, ...]] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -86,8 +89,12 @@ class SyntheticPoseDataset:
     def sample(self, index: int, train: bool = True):
         rng = np.random.default_rng((self.seed * 1_000_003 + index) & 0x7FFFFFFF)
         W, H = self.internal_wh
-        cls = (self.single_class if self.single_class is not None
-               else int(rng.integers(0, self.n_fg)))
+        if self.single_class is not None:
+            cls = self.single_class
+        elif self.classes is not None:
+            cls = int(self.classes[int(rng.integers(0, len(self.classes)))])
+        else:
+            cls = int(rng.integers(0, self.n_fg))
         R = geo.quaternion2rotation(rng.normal(size=4)).astype(np.float32)
         z = rng.uniform(650, 1100)
         # keep object near the view frustum center
@@ -153,6 +160,53 @@ class SyntheticPoseDataset:
         return dict(image=img, mask=mask, class_ids=class_ids, rotations=rotations,
                     translations=translations, bbox_trans=M,
                     meta=dict(K=self.K, width=W, height=H, cls=cls, R=R, T=T))
+
+    def sample_internal(self, index: int):
+        """Full internal-frame (640x480) rendering of one scene — the raw
+        image a BOP dataset would store on disk (scripts/make_bop_dataset.py
+        writes these + scene_gt/scene_camera JSONs so the entire BOP host
+        pipeline, reference libs/dataset.py:27-183, can be exercised without
+        LINEMOD). Returns dict(img uint8 HxWx3 BGR-ordered RGB-agnostic,
+        mask uint8, cls, R, T)."""
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + index) & 0x7FFFFFFF)
+        W, H = self.internal_wh
+        if self.single_class is not None:
+            cls = self.single_class
+        elif self.classes is not None:
+            cls = int(self.classes[int(rng.integers(0, len(self.classes)))])
+        else:
+            cls = int(rng.integers(0, self.n_fg))
+        R = geo.quaternion2rotation(rng.normal(size=4)).astype(np.float32)
+        z = rng.uniform(650, 1100)
+        x = rng.uniform(-0.25, 0.25) * z * W / self.K[0, 0] / 2
+        y = rng.uniform(-0.25, 0.25) * z * H / self.K[1, 1] / 2
+        T = np.array([x + rng.uniform(-30, 30), y + rng.uniform(-30, 30), z],
+                     np.float32)
+        corners = self.kp3d[cls]
+        kp = geo.project_points(self.K, R, T, corners)       # (8,2) internal
+
+        mask = np.zeros((H, W), np.int32)
+        _fill_convex(mask, kp, 1)
+        img = rng.uniform(0, 0.15, size=(H, W, 3)).astype(np.float32)
+        cam = (R @ corners.T + T[:, None]).T
+        base = np.array([0.25 + 0.045 * cls, 0.85 - 0.04 * cls, 0.5],
+                        np.float32)
+        face_colors = np.stack([np.roll(base, k) * (0.45 + 0.11 * k)
+                                for k in range(6)]).astype(np.float32)
+        faces = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 3, 7, 5)]
+        depth = [cam[list(f), 2].mean() for f in faces]
+        fimg = np.zeros((H, W), np.int32)
+        for fi in np.argsort(depth)[::-1]:
+            _fill_convex(fimg, kp[list(faces[fi])], fi + 1)
+        painted = fimg > 0
+        img[painted] = face_colors[fimg[painted] - 1]
+        img = np.clip(img + rng.normal(0, 0.02, img.shape).astype(np.float32),
+                      0, 1)
+        return dict(img=(img * 255).astype(np.uint8),
+                    mask=(mask * 255).astype(np.uint8),
+                    cls=cls, R=R, T=T)
 
     def batch(self, indices, train: bool = True) -> Batch:
         import jax.numpy as jnp

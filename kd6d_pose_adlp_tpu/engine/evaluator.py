@@ -78,8 +78,15 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
                                                kp3d[cls_id].astype(np.float64), K_img)
                     if cls_id in sym:
                         R = geo.pose_symmetry_handling(R, sym[cls_id]).astype(np.float64)
+                    # voted 2D keypoints (internal frame) alongside the pose,
+                    # like the reference's per-prediction xy2d
+                    # (postprocess/postprocess.py:199-202): the valid voted
+                    # cells' (8,2) keypoint sets that fed PnP
+                    xy2d = np.asarray(out["kp2d"][i])[
+                        np.asarray(out["vote_valid"][i], bool)]
                     entry_preds.append([float(out["score"][i]), cls_id,
-                                        R.tolist(), T.tolist()])
+                                        R.tolist(), T.tolist(),
+                                        np.round(xy2d, 2).tolist()])
             preds[meta["filename"]] = {
                 "meta": {
                     "K": np.asarray(meta["K"]).reshape(3, 3).tolist(),
@@ -91,7 +98,18 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
                 "pred": entry_preds,
             }
 
-    if working_dir:
+    # multi-host eval: each process evaluates its own shard of eval_batches;
+    # merge the prediction dicts across processes before scoring (replaces
+    # the reference's pickle-over-ByteTensor all_gather,
+    # libs/distributed.py:44-76 via libs/train_libs.py:49-60)
+    if jax.process_count() > 1:
+        from ..parallel.mesh import gather_host_objects
+        merged: Dict[str, Dict] = {}
+        for shard in gather_host_objects(preds):
+            merged.update(shard)
+        preds = merged
+
+    if working_dir and jax.process_index() == 0:
         os.makedirs(working_dir, exist_ok=True)
         with open(os.path.join(working_dir, "preds.json"), "w") as f:
             json.dump(preds, f)
@@ -106,15 +124,18 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
     if verbose:
         print(f"[valid @ step {step}]\n{table}")
     if logger is not None:
+        # ADI + REP scalars per class and averaged, like the reference's
+        # eval logging (libs/eval_libs.py:112-146 writes both families)
         scalars = {}
-        for ci, acc in enumerate(results["adi_per_class"]):
-            for k, v in acc.items():
-                if k == "ADI.10d":
-                    scalars[f"ADI/class_{ci:02d}"] = v
-        adi10 = [acc.get("ADI.10d") for acc in results["adi_per_class"]
-                 if "ADI.10d" in acc]
-        if adi10:
-            scalars["ADI/all_class"] = float(np.mean(adi10))
+        for group, key, tag in (("adi_per_class", "ADI.10d", "ADI"),
+                                ("rep_per_class", "REP05px", "REP")):
+            vals = []
+            for ci, acc in enumerate(results[group]):
+                if key in acc:
+                    scalars[f"{tag}/class_{ci:02d}"] = acc[key]
+                    vals.append(acc[key])
+            if vals:
+                scalars[f"{tag}/all_class"] = float(np.mean(vals))
         logger.log(step, scalars)
     results["table"] = table
     results["predictions"] = preds

@@ -42,6 +42,7 @@ def train(cfg: Config,
           vis_every: int = 0,
           pool: Optional[Batch] = None,
           steps_per_dispatch: int = 50,
+          backbone_init: Optional[str] = None,
           verbose: bool = True) -> TrainState:
     """Runs the full schedule; returns the final TrainState.
 
@@ -75,6 +76,29 @@ def train(cfg: Config,
         state, start_step = restore_checkpoint(latest, state, cfg_hash=cfg_h)
         if verbose:
             print(f"resumed from {latest} @ step {start_step}")
+    elif backbone_init:
+        # pretrained backbone initialization (reference libs/train_libs.py:82-87
+        # loads an ImageNet backbone weight file; here any final.ckpt works,
+        # e.g. an in-image pretext-pretrained pose model)
+        from ..utils.checkpoint import load_backbone_init
+        params, stats, n = load_backbone_init(
+            backbone_init, state.params, state.batch_stats)
+        state = state._replace(params=params, batch_stats=stats)
+        if verbose:
+            print(f"backbone init: {n} tensors from {backbone_init}", flush=True)
+
+    if pool is not None and steps_per_dispatch < 1:
+        raise ValueError(
+            f"steps_per_dispatch must be >= 1 with a device pool "
+            f"(got {steps_per_dispatch}); pass pool=None for per-step dispatch")
+    if pool is not None and cfg.solver.val_freq % steps_per_dispatch != 0 \
+            and verbose:
+        # k is a static jit arg: every distinct remainder of val_freq modulo
+        # steps_per_dispatch compiles a separate multi-step program (~8 min
+        # each through the remote-compile tunnel)
+        print(f"WARNING: val_freq {cfg.solver.val_freq} not divisible by "
+              f"steps_per_dispatch {steps_per_dispatch}; remainder dispatches "
+              f"will trigger extra XLA compilations", flush=True)
 
     if pool is None:
         step_fn = build_train_step(cfg, cfg_t, consts, net, teacher_net,

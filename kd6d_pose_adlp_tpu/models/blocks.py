@@ -24,12 +24,19 @@ def leaky_relu(x, alpha: float = 0.1):
 
 class ConvBNAct(nn.Module):
     """Conv2d(bias=False) -> BatchNorm(eps=1e-5) -> activation
-    (reference backbone/common.py:250-330)."""
+    (reference backbone/common.py:250-330).
+
+    `folded=True` builds the inference-equivalent fused form instead:
+    Conv2d(bias=True) -> activation, with the BN affine+stats pre-folded
+    into the conv weights (see utils/fold_bn.fold_batchnorm). Used for the
+    frozen KD teacher: it removes the per-step BN normalize (and its
+    bf16<->f32 convert traffic) from the hot path entirely."""
     features: int
     kernel_size: int = 3
     strides: int = 1
     alpha: float = 0.1  # LeakyReLU slope; None-like sentinel via use_act
     use_act: bool = True
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -49,12 +56,16 @@ class ConvBNAct(nn.Module):
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
             padding=padding,
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=kaiming_uniform,
             name="conv",
         )(x)
+        if self.folded:
+            if self.use_act:
+                x = leaky_relu(x, self.alpha)
+            return x.astype(self.dtype)
         # BN arithmetic runs in compute dtype; flax keeps the mean/var
         # reductions and the running stats in float32 regardless
         # (force_float32_reductions=True default). Under bfloat16 this avoids

@@ -32,6 +32,7 @@ class DarkNet(nn.Module):
     alpha: float = 0.1
     include_head: bool = False
     n_classes: int = 1000
+    folded: bool = False  # BN pre-folded into conv (frozen teacher path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,6 +46,7 @@ class DarkNet(nn.Module):
                 pointwise = (len(stage) > 1) and not (((j + 1) % 2 == 1) ^ odd_pointwise)
                 x = ConvBNAct(feats, kernel_size=1 if pointwise else 3,
                               alpha=self.alpha, dtype=self.dtype,
+                              folded=self.folded,
                               name=f"stage{si + 1}_unit{j + 1}")(x, train=train)
             outs.append(x)
             if si != len(channels) - 1:

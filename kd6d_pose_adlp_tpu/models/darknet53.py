@@ -21,15 +21,18 @@ CHANNELS = (64, 128, 256, 512, 1024)
 class DarkUnit(nn.Module):
     features: int
     alpha: float = 0.1
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         x = ConvBNAct(self.features // 2, kernel_size=1, alpha=self.alpha,
-                      dtype=self.dtype, name="conv1")(x, train=train)
+                      dtype=self.dtype, folded=self.folded,
+                      name="conv1")(x, train=train)
         x = ConvBNAct(self.features, kernel_size=3, alpha=self.alpha,
-                      dtype=self.dtype, name="conv2")(x, train=train)
+                      dtype=self.dtype, folded=self.folded,
+                      name="conv2")(x, train=train)
         return x + identity
 
 
@@ -37,19 +40,21 @@ class DarkNet53(nn.Module):
     alpha: float = 0.1
     include_head: bool = False
     n_classes: int = 1000
+    folded: bool = False  # BN pre-folded into conv (frozen teacher path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNAct(32, kernel_size=3, alpha=self.alpha, dtype=self.dtype,
-                      name="init_block")(x, train=train)
+                      folded=self.folded, name="init_block")(x, train=train)
         outs = []
         for si, (n_units, feats) in enumerate(zip(LAYERS, CHANNELS)):
             x = ConvBNAct(feats, kernel_size=3, strides=2, alpha=self.alpha,
-                          dtype=self.dtype,
+                          dtype=self.dtype, folded=self.folded,
                           name=f"stage{si + 1}_unit1")(x, train=train)
             for j in range(n_units - 1):
                 x = DarkUnit(feats, alpha=self.alpha, dtype=self.dtype,
+                             folded=self.folded,
                              name=f"stage{si + 1}_unit{j + 2}")(x, train=train)
             outs.append(x)
         if self.include_head:

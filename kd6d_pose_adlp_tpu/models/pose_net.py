@@ -22,12 +22,13 @@ from .head import PoseHead
 
 
 def make_backbone(cfg: ModelConfig, dtype=jnp.float32, name: str = "backbone"):
+    folded = getattr(cfg, "bn_folded", False)
     if cfg.backbone == "darknet53":
-        return DarkNet53(dtype=dtype, name=name)
+        return DarkNet53(dtype=dtype, folded=folded, name=name)
     if cfg.backbone == "darknet_tiny":
-        return DarkNet(version="tiny", dtype=dtype, name=name)
+        return DarkNet(version="tiny", dtype=dtype, folded=folded, name=name)
     if cfg.backbone == "darknet_tiny_h":
-        return DarkNet(version="tiny-h", dtype=dtype, name=name)
+        return DarkNet(version="tiny-h", dtype=dtype, folded=folded, name=name)
     raise ValueError(f"Unsupported backbone {cfg.backbone}")
 
 

@@ -52,7 +52,12 @@ def _control_points(pts3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     d = pts3d - c0
     cov = _einsum("ni,nj->ij", wn[:, None] * d, d)
     lam, vec = eigh3(cov)                                 # ascending, analytic
-    lam = jnp.maximum(lam, 1e-6)
+    # floor RELATIVE to the largest axis: for near-planar point sets an
+    # absolute 1e-6 floor leaves the 4x4 barycentric system (inv4, f32
+    # cofactor expansion) nearly singular; a 1e-4-of-lam_max floor bounds its
+    # condition number at ~1e2 while perturbing the control basis by <=1% of
+    # the object extent (barycentric coordinates adapt to any spanning basis)
+    lam = jnp.maximum(lam, 1e-4 * jnp.maximum(lam[2], 1e-2))
     axes = vec.T * jnp.sqrt(lam)[:, None]                 # (3,3) rows
     return jnp.concatenate([c0[None], c0[None] + axes], axis=0)
 

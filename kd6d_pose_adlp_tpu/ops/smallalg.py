@@ -279,6 +279,12 @@ def smallest_eigvecs(A: jnp.ndarray, k: int = 4, iters: int = 8
     hypothesis. Accuracy is that of a subspace method: the *span* converges
     geometrically (ratio lam_k/lam_{k+1} per iteration); EPnP follows with
     Gauss-Newton + LHM polish, which absorbs residual subspace error.
+
+    CONTRACT: with a small lam_4/lam_5 gap (noisy overdetermined
+    correspondence sets) the returned basis mixes the 3rd/4th vectors with
+    the row space — do NOT consume epnp() output without the downstream
+    Gauss-Newton + LHM refinement. tests/test_smallalg.py pins the
+    acceptable subspace error down to gap ~1.5.
     """
     n = A.shape[0]
     ridge = 1e-7 * jnp.trace(A) / n + 1e-12
@@ -323,14 +329,26 @@ def rotation_horn(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray,
     # so lam_max >= ||N||_F / sqrt(12) > 0 unless N = 0)
     sigma = jnp.sqrt((N * N).sum()) + 1e-12
     Ns = N + sigma * jnp.eye(4, dtype=N.dtype)
-    q0 = jnp.asarray([1.0, 0.0103, 0.0211, 0.0317], N.dtype)  # symmetry-breaking
-    q0 = q0 / jnp.sqrt((q0 * q0).sum())
 
     def body(_, q):
         q = _mm(Ns, q[:, None])[:, 0]
         return q / jnp.sqrt(jnp.maximum((q * q).sum(), 1e-30))
 
-    q = jax.lax.fori_loop(0, iters, body, q0)
+    # Two deterministic inits, mutually orthogonal: a single fixed q0 stalls
+    # when the optimal quaternion happens to be (near-)orthogonal to it
+    # (specific 180-degree rotations). Running both and keeping the larger
+    # Rayleigh quotient covers that failure mode with 4x4 matvecs only.
+    # (When the top two eigenvalues of N are close, convergence onto either
+    # is slow but both candidates are then near-optimal in the objective.)
+    q0 = jnp.asarray([1.0, 0.0103, 0.0211, 0.0317], N.dtype)
+    q1 = jnp.asarray([-0.0103, 1.0, 0.0317, -0.0211], N.dtype)  # q0 . q1 = 0
+    q0 = q0 / jnp.sqrt((q0 * q0).sum())
+    q1 = q1 / jnp.sqrt((q1 * q1).sum())
+    qa = jax.lax.fori_loop(0, iters, body, q0)
+    qb = jax.lax.fori_loop(0, iters, body, q1)
+    ra = (qa * _mm(N, qa[:, None])[:, 0]).sum()
+    rb = (qb * _mm(N, qb[:, None])[:, 0]).sum()
+    q = jnp.where(ra >= rb, qa, qb)
     return quat_to_rot(q)
 
 

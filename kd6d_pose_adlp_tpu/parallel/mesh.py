@@ -45,6 +45,37 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
+def pad_for_allgather(payload: bytes, cap: int) -> np.ndarray:
+    """Fixed-shape uint8 buffer for a cross-process allgather (all processes
+    must contribute identical shapes). Split out for unit testing."""
+    assert len(payload) <= cap, (len(payload), cap)
+    buf = np.zeros((cap,), np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    return buf
+
+
+def gather_host_objects(obj):
+    """All-gather an arbitrary picklable host object across processes;
+    returns the list of every process's object (this process's included).
+
+    Functional replacement for the reference's pickle-over-ByteTensor
+    `all_gather` (`libs/distributed.py:44-76`): sizes are exchanged first,
+    then the pickled payloads ride one fixed-shape uint8 allgather. Identity
+    (a 1-element list) on a single process."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+    from jax.experimental import multihost_utils
+    payload = pickle.dumps(obj)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray(len(payload), np.int64)))
+    cap = int(sizes.max())
+    gathered = np.asarray(multihost_utils.process_allgather(
+        pad_for_allgather(payload, cap)))
+    return [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+            for i in range(gathered.shape[0])]
+
+
 def gather_eval_pytree(tree):
     """Multi-host gather of fixed-shape eval arrays (replaces the reference's
     pickle-over-ByteTensor `all_gather`, libs/distributed.py:44-76). On a

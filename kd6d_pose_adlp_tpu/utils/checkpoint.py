@@ -8,7 +8,7 @@ serialization; files are plain bytes, safe for rank-0-writes / all-read.
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Dict
 
 import jax
 import numpy as np
@@ -64,6 +64,36 @@ def save_params(path: str, params: Any) -> None:
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
     os.replace(tmp, path)
+
+
+def load_backbone_init(path: str, params_template: Any, stats_template: Any,
+                       prefix: str = "backbone"):
+    """Backbone-only initialization from a full-model final.ckpt
+    ({"params": ..., "batch_stats": ...}): restore params AND BN statistics
+    for keys under `prefix`, keep the fresh init elsewhere (head/FPN).
+
+    TPU-native equivalent of the reference's ImageNet backbone init
+    (`libs/train_libs.py:82-87` loads a backbone-only weight file before
+    training). Returns (params, batch_stats, n_loaded)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    def merge(template: Any, source: Dict) -> tuple:
+        flat_t = traverse_util.flatten_dict(
+            serialization.to_state_dict(template))
+        flat_r = traverse_util.flatten_dict(source or {})
+        n = 0
+        for k, v in flat_r.items():
+            if k and k[0] == prefix and k in flat_t and \
+                    np.shape(flat_t[k]) == np.shape(v):
+                flat_t[k] = v
+                n += 1
+        merged = traverse_util.unflatten_dict(flat_t)
+        return serialization.from_state_dict(template, merged), n
+
+    params, n_p = merge(params_template, raw.get("params"))
+    stats, n_s = merge(stats_template, raw.get("batch_stats"))
+    return params, stats, n_p + n_s
 
 
 def load_params_loose(path: str, params_template: Any):

@@ -169,6 +169,54 @@ def convert_pose_module(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def load_imgclsmob_zip(zip_path: str) -> Dict[str, np.ndarray]:
+    """Load a pytorchcv/imgclsmob release zip (one `{name}-{error}-{sha1}.pth`
+    state-dict file inside — reference backbone/model_store.py:560-587) and
+    return the numpy state dict."""
+    import tempfile
+    import zipfile
+
+    import torch
+    with zipfile.ZipFile(zip_path) as zf:
+        names = [n for n in zf.namelist() if n.endswith(".pth")]
+        if len(names) != 1:
+            raise ValueError(f"{zip_path}: expected exactly one .pth inside, "
+                             f"got {names}")
+        with tempfile.TemporaryDirectory() as td:
+            zf.extract(names[0], td)
+            sd = torch.load(f"{td}/{names[0]}", map_location="cpu",
+                            weights_only=True)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def imgclsmob_to_backbone_ckpt(zip_path: str, backbone: str, out_path: str,
+                               input_res: int = 256) -> int:
+    """One-call ingestion of an imgclsmob ImageNet release zip into a
+    final.ckpt-layout file usable as `train_kd.py --backbone_init`: ingest
+    the zip, convert the backbone tensors, overlay them on a fresh PoseNet
+    init, save {"params","batch_stats"}. Returns the tensor count loaded.
+    Rehearsed (with a fabricated zip) by tests/test_torch_convert.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import ModelConfig
+    from ..models.pose_net import PoseNet
+    from .checkpoint import save_params
+
+    sd = load_imgclsmob_zip(zip_path)
+    params, stats = convert_backbone(sd)
+    net = PoseNet(cfg=ModelConfig(backbone=backbone, input_res=input_res))
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, input_res, input_res, 3)))
+    merged = merge_into_variables(
+        variables, {"backbone": params}, {"backbone": stats})
+    save_params(out_path, {"params": merged["params"],
+                           "batch_stats": merged.get("batch_stats", {})})
+    from flax import traverse_util
+    return (len(traverse_util.flatten_dict(params))
+            + len(traverse_util.flatten_dict(stats)))
+
+
 def merge_into_variables(variables: Dict, params: Dict, stats: Dict,
                          strict: bool = False) -> Dict:
     """Overlay converted tensors onto an initialized variables dict. Keys the

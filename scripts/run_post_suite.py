@@ -29,23 +29,15 @@ STUDENT_RUNS = ["baseline_v4", "distilled_w1_v4", "ablate_wot0",
                 "distilled_w1_s1"]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--eval_n", type=int, default=384)
-    ap.add_argument("--steps", type=int, default=2500)
-    ap.add_argument("--skip_fast_pool", action="store_true")
-    ap.add_argument("--skip_rescore", action="store_true")
-    ap.add_argument("--out", type=str, default="results/post_suite.json")
-    args = ap.parse_args()
-
+def make_rescorer(eval_n: int):
+    """Returns rescore(ckpt, backbone) -> metrics dict on `eval_n` class-0
+    scenes. Shared by this script and run_pretrain_suite (one definition of
+    the high-res eval protocol)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
-    setup_compilation_cache()
 
     from kd6d_pose_adlp_tpu.config import Config, ModelConfig
     from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
@@ -54,8 +46,6 @@ def main():
     from kd6d_pose_adlp_tpu.engine.steps import build_forward
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
     from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
-
-    out = {}
 
     def rescore(ckpt, backbone):
         cfg = Config(model=ModelConfig(backbone=backbone,
@@ -71,8 +61,8 @@ def main():
         def eval_batches():
             from kd6d_pose_adlp_tpu.data.pipeline import collate
             tb = cfg.test.ims_per_batch
-            for start in range(0, args.eval_n, tb):
-                idx = [min(start + k, args.eval_n - 1) for k in range(tb)]
+            for start in range(0, eval_n, tb):
+                idx = [min(start + k, eval_n - 1) for k in range(tb)]
                 samples = [ds.sample(i, train=False) for i in idx]
                 yield collate(samples), [
                     dict(filename=f"synthetic_{i:06d}.png", K=s["meta"]["K"],
@@ -100,6 +90,24 @@ def main():
             ("adi_per_class", "ADI.20d"), ("auc_per_class", "AUC    "),
             ("rep_per_class", "REP02px"),
             ("rep_per_class", "REP05px"), ("rep_per_class", "REP10px")]}
+
+    return rescore
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval_n", type=int, default=384)
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--skip_fast_pool", action="store_true")
+    ap.add_argument("--skip_rescore", action="store_true")
+    ap.add_argument("--out", type=str, default="results/post_suite.json")
+    args = ap.parse_args()
+
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
+
+    out = {}
+    rescore = make_rescorer(args.eval_n)
 
     for name in ([] if args.skip_rescore else STUDENT_RUNS):
         ckpt = f"outputs/ab/{name}/final.ckpt"

@@ -34,6 +34,14 @@ def build_parser():
     ap.add_argument("--backbone_t", type=str, default="darknet53")
     ap.add_argument("--weight_file_t", type=str, default="",
                     help="teacher final.ckpt; with kd_weight>0 enables KD")
+    ap.add_argument("--backbone_init", type=str, default="",
+                    help="final.ckpt to initialize the student backbone from "
+                         "(pretrained-init surrogate; head/FPN stay fresh)")
+    ap.add_argument("--fold_teacher_bn", type=int, default=1,
+                    help="fold the frozen teacher's BN into conv weights")
+    ap.add_argument("--classes", type=str, default="",
+                    help="train-class subset, e.g. '1-14' or '1,2,5'; empty "
+                         "= LINEMOD-style single class 0")
     ap.add_argument("--use_pallas", type=int, default=1)
     ap.add_argument("--wot_detach", type=int, default=0)
     # KD ablation axes (reference arguments/argument_kd.py:37-49)
@@ -97,8 +105,17 @@ def run(args):
     cfg_t = cfg.replace(model=ModelConfig(
         backbone=args.backbone_t, compute_dtype=dtype,
         input_res=args.input_res))
+    classes = None
+    if args.classes:
+        if "-" in args.classes and "," not in args.classes:
+            lo, hi = args.classes.split("-")
+            classes = tuple(range(int(lo), int(hi) + 1))
+        else:
+            classes = tuple(int(c) for c in args.classes.split(","))
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=cfg.model.input_res,
-                              max_objs=cfg.solver.max_objs, single_class=0, seed=0)
+                              max_objs=cfg.solver.max_objs,
+                              single_class=None if classes else 0,
+                              classes=classes, seed=0)
     consts = ds.consts()
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, mesh_diameters=tuple(np.asarray(consts.diameters))))
@@ -114,7 +131,7 @@ def run(args):
     # pool across sequential runs in one process (skips render AND upload).
     pool_cache = getattr(args, "_pool_cache", None)
     cache_key = (args.batches, args.batch_size, args.input_res,
-                 args.steps_per_dispatch > 0)
+                 args.steps_per_dispatch > 0, args.classes)
     if pool_cache is not None and cache_key in pool_cache:
         dev = pool_cache[cache_key]
         print(f"pool of {args.batches} batches from device cache", flush=True)
@@ -156,8 +173,14 @@ def run(args):
 
     teacher_variables = None
     if args.weight_file_t and args.kd_weight > 0:
+        if args.fold_teacher_bn:
+            # eval-mode BN is a constant affine: fold it into the conv
+            # weights once at load time (utils/fold_bn) and run the teacher
+            # with the fused conv-bias model
+            cfg_t = cfg_t.replace(model=dataclasses.replace(
+                cfg_t.model, bn_folded=True))
         t_cache = getattr(args, "_teacher_cache", None)
-        t_key = (args.weight_file_t, args.backbone_t)
+        t_key = (args.weight_file_t, args.backbone_t, bool(args.fold_teacher_bn))
         if t_cache is not None and t_key in t_cache:
             teacher_variables = t_cache[t_key]
             print("teacher: from device cache", flush=True)
@@ -165,13 +188,18 @@ def run(args):
             import jax.numpy as jnp
 
             from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
-            teacher_net = PoseNet(cfg=cfg_t.model, n_fg=cfg.data.n_fg)
+            from kd6d_pose_adlp_tpu.utils.fold_bn import fold_batchnorm
+            t_model = dataclasses.replace(cfg_t.model, bn_folded=False)
+            teacher_net = PoseNet(cfg=t_model, n_fg=cfg.data.n_fg)
             t_init = teacher_net.init(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, args.input_res, args.input_res, 3)))
             teacher_variables, n = load_params_loose(args.weight_file_t, t_init)
+            if args.fold_teacher_bn:
+                teacher_variables = fold_batchnorm(teacher_variables)
             teacher_variables = jax.device_put(teacher_variables)
-            print(f"teacher: loaded {n} tensors from {args.weight_file_t}",
+            print(f"teacher: loaded {n} tensors from {args.weight_file_t}"
+                  f"{' (BN folded)' if args.fold_teacher_bn else ''}",
                   flush=True)
             if t_cache is not None:
                 t_cache[t_key] = teacher_variables
@@ -199,6 +227,7 @@ def run(args):
           cfg_t=cfg_t if teacher_variables is not None else None,
           teacher_variables=teacher_variables, eval_fn=eval_fn,
           pool=device_pool, steps_per_dispatch=args.steps_per_dispatch,
+          backbone_init=args.backbone_init or None,
           working_dir=args.working_dir, resume=False)
     return {"final": results, "backbone": args.backbone,
             "kd_weight": args.kd_weight, "steps": args.steps}

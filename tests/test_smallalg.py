@@ -142,3 +142,46 @@ def test_vmap_jit_compatibility():
     assert V.shape == (8, 12, 4)
     for i in range(8):
         np.testing.assert_allclose(V[i].T @ V[i], np.eye(4), atol=1e-4)
+
+
+def test_smallest_eigvecs_small_gap():
+    """gap ~1.5 regime (noisy overdetermined sets): the subspace mixes with
+    the row space, but the DOMINANT 3 directions must stay accurate and the
+    4-dim Ritz basis must still capture most of the true small subspace —
+    the error budget the downstream Gauss-Newton + LHM polish absorbs
+    (see smallest_eigvecs docstring CONTRACT)."""
+    rs = np.random.RandomState(11)
+    for trial in range(5):
+        Q = np.linalg.qr(rs.randn(12, 12))[0]
+        # small subspace at ~1e-4, row space starting only 1.5x above it
+        w = np.concatenate([np.geomspace(1e-6, 1e-4, 4),
+                            np.geomspace(1.5e-4, 1.0, 8)])
+        A = ((Q * w) @ Q.T).astype(np.float32)
+        wg, V = sa.smallest_eigvecs(jnp.asarray(A), k=4)
+        V = np.asarray(V)
+        np.testing.assert_allclose(V.T @ V, np.eye(4), atol=1e-4)
+        P = Q[:, :4]
+        s = np.linalg.svd(P.T @ V, compute_uv=False)
+        # the three clearly-separated directions are found essentially
+        # exactly; the 4th (sitting 1.5x below the row space) may mix
+        assert s[2] > 0.99, s
+        assert s[3] > 0.5, s
+
+
+def test_rotation_horn_orthogonal_init_case():
+    """Optimal quaternion EXACTLY orthogonal to the primary power-iteration
+    init: the second (orthogonal) init chain must recover it (ADVICE r2)."""
+    q0 = np.array([1.0, 0.0103, 0.0211, 0.0317])
+    q0 /= np.linalg.norm(q0)
+    # target: a 180-degree-style quaternion orthogonalized against q0
+    qt = np.array([0.0, 1.0, 0.0, 0.0])
+    qt = qt - (qt @ q0) * q0
+    qt /= np.linalg.norm(qt)
+    Rt = np.asarray(sa.quat_to_rot(jnp.asarray(qt, jnp.float32)))
+    rs = np.random.RandomState(8)
+    X = rs.randn(30, 3).astype(np.float32)
+    X -= X.mean(0)
+    Y = X @ Rt.T
+    R = np.asarray(sa.rotation_horn(jnp.asarray(X), jnp.asarray(Y),
+                                    jnp.ones((30,), jnp.float32)))
+    np.testing.assert_allclose(R, Rt, atol=1e-3)

@@ -64,3 +64,46 @@ def test_backbone_forward_parity(name, ours):
         assert of.shape == ot.shape, (of.shape, ot.shape)
         # tolerance: f32 accumulation noise across up to 53 conv layers
         np.testing.assert_allclose(np.asarray(of), ot, rtol=5e-3, atol=1e-3)
+
+
+def test_imgclsmob_zip_ingestion_rehearsal(tmp_path):
+    """Dress rehearsal for real imgclsmob ImageNet weights (none reachable
+    under zero egress): fabricate a release zip in the exact layout
+    (`{name}-{error}-{sha1}.pth` inside — reference
+    backbone/model_store.py:560-587) from a reference torch module's state
+    dict, ingest it via imgclsmob_to_backbone_ckpt, and check the resulting
+    final.ckpt initializes a student backbone to the torch values."""
+    import zipfile
+
+    from kd6d_pose_adlp_tpu.config import ModelConfig
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.utils.checkpoint import load_backbone_init
+    from kd6d_pose_adlp_tpu.utils.torch_convert import (
+        convert_backbone, imgclsmob_to_backbone_ckpt)
+
+    torch.manual_seed(1)
+    ref = _ref_module("darknet_tiny_h")(pretrained=False)
+    pth = tmp_path / "darknet_tiny_h-2340-cdd2c0c9.pth"
+    torch.save(ref.state_dict(), pth)
+    zpath = tmp_path / "darknet_tiny_h-2340-cdd2c0c9.pth.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(pth, pth.name)
+
+    ckpt = str(tmp_path / "imagenet_tiny_h.ckpt")
+    n = imgclsmob_to_backbone_ckpt(str(zpath), "darknet_tiny_h", ckpt)
+    assert n > 50
+
+    # the ckpt must function as --backbone_init for a fresh student
+    net = PoseNet(cfg=ModelConfig(backbone="darknet_tiny_h"), n_fg=15)
+    fresh = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 256, 256, 3)))
+    params, stats, n2 = load_backbone_init(
+        ckpt, fresh["params"], fresh["batch_stats"])
+    assert n2 > 50
+    conv_params, conv_stats = convert_backbone(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    got = np.asarray(params["backbone"]["stage1_unit1"]["conv"]["kernel"])
+    np.testing.assert_allclose(
+        got, conv_params["stage1_unit1"]["conv"]["kernel"], atol=1e-6)
+    got_m = np.asarray(stats["backbone"]["stage1_unit1"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        got_m, conv_stats["stage1_unit1"]["bn"]["mean"], atol=1e-6)

@@ -58,6 +58,14 @@ def get_argparser():
     p.add_argument("--n_devices", type=int, default=0, help="0 = all")
     p.add_argument("--vis_every", type=int, default=1000,
                    help="KD cloud scatter dump cadence (0 = off)")
+    p.add_argument("--backbone_init", type=str, default="",
+                   help="final.ckpt to initialize the student backbone from "
+                        "(pretrained init, reference libs/train_libs.py:82-87)")
+    p.add_argument("--fold_teacher_bn", type=str2bool, nargs="?", const=True,
+                   default=True,
+                   help="fold the frozen teacher's BN into its conv weights")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host)")
     return p
 
 
@@ -84,6 +92,10 @@ def build_configs(args):
 def main():
     args = get_argparser().parse_args()
     import jax
+    if args.distributed:
+        # multi-host SPMD: one process per host; eval predictions are merged
+        # via parallel.mesh.gather_host_objects inside evaluator.valid
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
@@ -122,6 +134,16 @@ def main():
             t_init, n = load_params_loose(args.weight_file_t, t_init)
             print(f"teacher: loaded {n} tensors from {args.weight_file_t}")
         teacher_variables = t_init
+        if args.weight_file_t and args.fold_teacher_bn:
+            # frozen eval-mode teacher: BN is a constant affine — fold it
+            # into the conv weights once (utils/fold_bn) and rebuild the
+            # teacher as the fused-conv model
+            from kd6d_pose_adlp_tpu.utils.fold_bn import fold_batchnorm
+            teacher_variables = fold_batchnorm(teacher_variables)
+            cfg_t = cfg_t.replace(model=dataclasses.replace(
+                cfg_t.model, bn_folded=True))
+            teacher_net = PoseNet(cfg=cfg_t.model, n_fg=cfg.data.n_fg)
+            print("teacher: BN folded into conv weights")
 
     net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
     forward = build_forward(cfg, net)
@@ -160,6 +182,7 @@ def main():
           if args.data == "bop" else data.train_iter(),
           cfg_t=cfg_t, teacher_variables=teacher_variables,
           eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh,
+          backbone_init=args.backbone_init or None,
           vis_every=args.vis_every)
 
 
