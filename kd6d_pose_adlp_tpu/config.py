@@ -22,6 +22,10 @@ _BACKBONE_SPECS: Dict[str, Dict] = {
     "darknet_tiny": dict(feat_channels=(0, 0, 128, 128), out_channel=256, val_freq=500),
     "darknet_tiny_h": dict(feat_channels=(0, 0, 64, 64), out_channel=128, val_freq=500),
     "darknet53": dict(feat_channels=(0, 0, 256, 512, 1024), out_channel=256, val_freq=2000),
+    # TPU experiments (models/darknet.py: lane-padded widths / s2d stem);
+    # pyramid channels match darknet_tiny_h so FPN/head are identical
+    "darknet_tiny_h_wide": dict(feat_channels=(0, 0, 64, 64), out_channel=128, val_freq=500),
+    "darknet_tiny_h_s2d": dict(feat_channels=(0, 0, 64, 64), out_channel=128, val_freq=500),
 }
 
 # LINEMOD defaults (reference configs/ape.yaml)

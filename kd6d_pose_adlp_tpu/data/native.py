@@ -34,6 +34,8 @@ def _build() -> bool:
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
+    if os.environ.get("KD6D_NO_NATIVE"):  # force the cv2/NumPy fallback
+        return None
     if _lib is not None or _tried:
         return _lib
     _tried = True

@@ -24,6 +24,13 @@ DARKNET_CHANNELS = {
     "tiny-h": ([[8], [16], [8, 64, 8, 64], [16, 128, 16, 128], [32, 256, 32, 256, 64]], True),
     "19": ([[32], [64], [128, 64, 128], [256, 128, 256], [512, 256, 512, 256, 512],
             [1024, 512, 1024, 512, 1024]], False),
+    # TPU experiment (SURVEY §7 "narrow stages vs 128-lane MXU"): tiny-h with
+    # the early/pointwise widths padded up to >=32 channels. If the narrow
+    # convs are lane-bound (padding is free wall-clock), this variant buys
+    # capacity at zero cost; measured by scripts/run_perf_suite.py. Stage
+    # OUTPUT channels feeding the FPN stay identical to tiny-h.
+    "tiny-h-wide": ([[32], [32], [32, 64, 32, 64], [32, 128, 32, 128],
+                     [32, 256, 32, 256, 64]], True),
 }
 
 
@@ -33,11 +40,22 @@ class DarkNet(nn.Module):
     include_head: bool = False
     n_classes: int = 1000
     folded: bool = False  # BN pre-folded into conv (frozen teacher path)
+    # space-to-depth stem (TPU experiment, SURVEY §7): rearrange the input
+    # to half resolution x 4x channels before stage1 and skip the first
+    # pool — pyramid shapes are unchanged, stage-1 FLOPs halve, and the
+    # first conv sees 12 input channels instead of 3 (denser MXU lanes).
+    # Invertible rearrangement: no information loss, but the learned stem
+    # differs from the reference — opt-in, perf-measured variant only.
+    s2d_stem: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         channels, odd_pointwise = DARKNET_CHANNELS[self.version]
+        if self.s2d_stem:
+            B, H, W, C = x.shape
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(B, H // 2, W // 2, 4 * C)
         outs = []
         for si, stage in enumerate(channels):
             for j, feats in enumerate(stage):
@@ -49,7 +67,8 @@ class DarkNet(nn.Module):
                               folded=self.folded,
                               name=f"stage{si + 1}_unit{j + 1}")(x, train=train)
             outs.append(x)
-            if si != len(channels) - 1:
+            if si != len(channels) - 1 and not (self.s2d_stem and si == 0):
+                # s2d stem already put stage1 at /2: no pool after it
                 x = max_pool_2x2(x)
 
         if self.include_head:
@@ -63,7 +82,8 @@ class DarkNet(nn.Module):
         # into the next stage; the reference returns the tensors
         # [stage1, stage2, stage3, stage5] AFTER the trailing pools
         # (its stages embed the pool). Replicate: pool stage outputs 1..n-1.
-        pyr = [max_pool_2x2(o) for o in outs[:-1]] + [outs[-1]]
+        pyr = [o if (self.s2d_stem and i == 0) else max_pool_2x2(o)
+               for i, o in enumerate(outs[:-1])] + [outs[-1]]
         # reference forward: out1..out3 = stages 1-3, out4 = stage5(stage4(.))
         return [pyr[0], pyr[1], pyr[2], pyr[4]]
 

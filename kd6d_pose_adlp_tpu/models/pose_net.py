@@ -29,6 +29,12 @@ def make_backbone(cfg: ModelConfig, dtype=jnp.float32, name: str = "backbone"):
         return DarkNet(version="tiny", dtype=dtype, folded=folded, name=name)
     if cfg.backbone == "darknet_tiny_h":
         return DarkNet(version="tiny-h", dtype=dtype, folded=folded, name=name)
+    if cfg.backbone == "darknet_tiny_h_wide":
+        return DarkNet(version="tiny-h-wide", dtype=dtype, folded=folded,
+                       name=name)
+    if cfg.backbone == "darknet_tiny_h_s2d":
+        return DarkNet(version="tiny-h", s2d_stem=True, dtype=dtype,
+                       folded=folded, name=name)
     raise ValueError(f"Unsupported backbone {cfg.backbone}")
 
 

@@ -7,10 +7,12 @@ ImageNet, so this suite builds the in-image surrogate end-to-end:
 
   1. Pretext pretraining: darknet_tiny_h and darknet53 PoseNets trained on
      procedural scenes of classes 1-14 — DISJOINT from the downstream
-     target class 0 — 2048 images, 20k steps. Only the backbone (+BN
-     stats) is reused downstream.
+     target class 0 — 6144 images, 60k steps (v2: the 2048-image/20k-step
+     v1 under-trained and its teacher transfer was NEGATIVE, 38 vs 67 ADI).
+     Only the backbone (+BN stats) is reused downstream.
   2. Teacher: darknet53 on class 0 (1024 images, 30k steps) from the
-     pretrained darknet53 backbone.
+     pretrained darknet53 backbone; the KD arms then use whichever of
+     {this, the round-2 scratch teacher} scores higher.
   3. Scarce-data A/B: darknet_tiny_h on 192 and 512 class-0 images,
      3 seeds x {baseline, distilled w1, distilled w5}, all arms from the
      pretrained tiny backbone; plus a data-rich (1024-image) pair.
@@ -35,9 +37,14 @@ import copy
 import json
 import time
 
-PRETRAIN_TINY = "outputs/pretrain/tiny_h/"
-PRETRAIN_DN53 = "outputs/pretrain/darknet53/"
-TEACHER = "outputs/pretrain/teacher30k_pt/"
+PRETRAIN_TINY = "outputs/pretrain2/tiny_h/"
+PRETRAIN_DN53 = "outputs/pretrain2/darknet53/"
+TEACHER = "outputs/pretrain2/teacher30k_pt/"
+# round-2/3 scratch teacher (ADI.10d 67.19 @128 / 69.79 @384): the KD arms
+# use whichever of {pretrained-init teacher, scratch teacher} scores higher,
+# mirroring the reference which simply ships its best teacher checkpoint
+SCRATCH_TEACHER = "outputs/ab/teacher30k/final.ckpt"
+SCRATCH_TEACHER_ADI10 = 67.19
 
 
 def suite_specs(args):
@@ -58,7 +65,7 @@ def suite_specs(args):
     student = dict(backbone="darknet_tiny_h", steps=args.steps,
                    backbone_init=PRETRAIN_TINY + "final.ckpt",
                    rescore_backbone="darknet_tiny_h")
-    kd = dict(weight_file_t=TEACHER + "final.ckpt")
+    kd = dict(weight_file_t="__BEST_TEACHER__")  # resolved after the teacher run
     for b, tag in ((12, "s192"), (32, "s512"), (64, "rich")):
         seeds = (0, 1) if tag == "rich" else (0, 1, 2)
         for s in seeds:
@@ -74,15 +81,18 @@ def suite_specs(args):
 
 def main():
     ap = argparse.ArgumentParser()
+    # v2 defaults after the 20k/2048-image v1 failed (teacher-from-pretrain
+    # ADI.10d 38 vs 67 scratch; both pretexts still steeply improving at 20k
+    # and near-memorizing 146 imgs/class): 3x the pretext data, 3x the steps
     ap.add_argument("--steps", type=int, default=10000)
-    ap.add_argument("--pretrain_steps", type=int, default=20000)
-    ap.add_argument("--pretrain_batches", type=int, default=128)
+    ap.add_argument("--pretrain_steps", type=int, default=60000)
+    ap.add_argument("--pretrain_batches", type=int, default=384)
     ap.add_argument("--teacher_steps", type=int, default=30000)
     ap.add_argument("--eval_n", type=int, default=128)
     ap.add_argument("--rescore_n", type=int, default=384)
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--skip_rescore", action="store_true")
-    ap.add_argument("--out", type=str, default="results/pretrain_suite.json")
+    ap.add_argument("--out", type=str, default="results/pretrain_suite2.json")
     # smoke-test passthroughs
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch_size", type=int, default=16)
@@ -104,9 +114,18 @@ def main():
     pool_cache, teacher_cache = {}, {}
     keep = set(args.only.split(",")) if args.only else None
 
+    def best_teacher():
+        """Pretrained-init teacher if it beat the scratch one, else scratch."""
+        pt = summary.get("teacher30k_pt", {}).get("final", {}).get("ADI.10d", 0)
+        if pt >= SCRATCH_TEACHER_ADI10 or not os.path.exists(SCRATCH_TEACHER):
+            return TEACHER + "final.ckpt"
+        print(f"KD arms use the SCRATCH teacher (pt {pt} < "
+              f"{SCRATCH_TEACHER_ADI10})", flush=True)
+        return SCRATCH_TEACHER
+
     rescore_list = []
     for name, spec in suite_specs(args):
-        wd = spec.get("working_dir", f"outputs/pretrain/{name}/")
+        wd = spec.get("working_dir", f"outputs/pretrain2/{name}/")
         rb = spec.pop("rescore_backbone", None)
         if rb:
             rescore_list.append((name, wd + "final.ckpt", rb))
@@ -115,6 +134,14 @@ def main():
         if name in summary and os.path.exists(wd + "final.ckpt"):
             print(f"=== {name}: already done, skipping ===", flush=True)
             continue
+        if spec.get("weight_file_t") == "__BEST_TEACHER__":
+            spec["weight_file_t"] = best_teacher()
+        if name == "teacher30k_pt":
+            # the big pretext pool (classes 1-14) is dead weight from here on;
+            # free its ~5 GB of HBM before the class-0 pools arrive
+            for k in list(pool_cache):
+                if k[-1] == "1-14":
+                    del pool_cache[k]
         ns = copy.copy(base_ns)
         for k, v in spec.items():
             setattr(ns, k, v)

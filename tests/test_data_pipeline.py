@@ -195,6 +195,7 @@ def test_per_object_eval_crops(bop_root_multi):
         assert np.linalg.norm(c - kp_crop.mean(0)) < res * 0.2
 
 
+@pytest.mark.slow
 def test_bop_end_to_end_training_step(bop_root):
     """Three optimizer steps driven entirely by the on-disk BOP pipeline."""
     import itertools

@@ -65,6 +65,7 @@ def test_epnp_vs_cv2():
     assert t_err < 15.0, t_err
 
 
+@pytest.mark.slow
 def test_ransac_rejects_outliers():
     rng = np.random.default_rng(11)
     R, T, pts3d, pts2d = _scene(rng, n=40, noise=0.5)
@@ -83,6 +84,7 @@ def test_ransac_rejects_outliers():
     assert t_err < 15.0, t_err
 
 
+@pytest.mark.slow
 def test_ransac_respects_validity_mask():
     rng = np.random.default_rng(13)
     R, T, pts3d, pts2d = _scene(rng, n=32, noise=0.3)
@@ -98,6 +100,7 @@ def test_ransac_respects_validity_mask():
     assert t_err < 15.0
 
 
+@pytest.mark.slow
 def test_ransac_epnp_vs_cv2_under_noise():
     """On-device RANSAC-EPnP(+LHM) must stay within tolerance of
     cv2.solvePnPRansac(EPNP, 5.0) on identical noisy votes at LINEMOD-like

@@ -6,6 +6,7 @@ keeps the teacher in eval mode, where BN is a constant affine). Backbone
 init (utils/checkpoint.load_backbone_init) is the TPU equivalent of the
 reference's pretrained-backbone load (libs/train_libs.py:82-87).
 """
+import pytest
 import dataclasses
 import os
 
@@ -48,6 +49,7 @@ def test_fold_batchnorm_matches_eval_forward():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fold_batchnorm_param_structure_matches_folded_model():
     """Folded params must restore 1:1 into a bn_folded=True model init."""
     cfg = ModelConfig(backbone="darknet53", input_res=128)

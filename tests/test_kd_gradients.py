@@ -1,4 +1,5 @@
 """KD loss gradient flow: the OT term must actually train the student."""
+import pytest
 import dataclasses
 
 import jax
@@ -47,6 +48,7 @@ def _fake_teacher_votes(cfg, consts, batch):
                  box_size=jnp.full((B,), 64.0))
 
 
+@pytest.mark.slow
 def test_kd_loss_gradients_reach_student_params():
     cfg, consts, batch = _setup()
     net = PoseNet(cfg=cfg.model, n_fg=N_FG)

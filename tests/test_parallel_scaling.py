@@ -6,6 +6,7 @@ compiled program has *global* semantics, so the same global batch must give
 the same loss/params whether it runs on 1 device or sharded over 8 — up to
 float reduction order only.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_weak_scaling_1_vs_8_devices_same_global_batch():
     """Same global batch of 8: loss and updated params agree between an
     unsharded run and an 8-way batch-sharded run."""

@@ -45,6 +45,7 @@ def _run_both(cfg, consts, pool, stacked, tmp_path, k):
     return st_host, st_pool
 
 
+@pytest.mark.slow
 def test_pool_scan_single_step_identical(tmp_path):
     cfg, consts, pool, stacked = _setup(max_iter=1)
     st_h, st_p = _run_both(cfg, consts, pool, stacked, tmp_path, k=4)
@@ -60,6 +61,7 @@ def test_pool_scan_single_step_identical(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pool_scan_multi_dispatch_cycling(tmp_path):
     # 6 steps with k=4 exercises the partial last dispatch (4 then 2) and
     # wrap-around batch cycling over a 3-batch pool
@@ -80,6 +82,7 @@ def test_pool_scan_multi_dispatch_cycling(tmp_path):
                                    rtol=1e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pool_scan_dp_mesh_matches_single_device(tmp_path):
     # the same pool-scan schedule over a 4-device DP mesh must track the
     # single-device run (global-sum losses -> psum'd grads; params
@@ -108,6 +111,7 @@ def test_pool_scan_dp_mesh_matches_single_device(tmp_path):
         assert np.max(np.abs(a - b)) < 5e-3
 
 
+@pytest.mark.slow
 def test_pool_scan_val_freq_boundaries(tmp_path):
     # val_freq=2 over 6 steps with k=4: dispatches must clamp to the eval
     # boundaries (2,2,2) and eval_fn must fire at steps 2, 4, 6

@@ -61,6 +61,7 @@ def _import_ref():
             importlib.import_module("libs.poses"))
 
 
+@pytest.mark.slow
 def test_postprocess_pose_parity_with_reference():
     mm, pp, poses_mod = _import_ref()
     rng = np.random.default_rng(0)

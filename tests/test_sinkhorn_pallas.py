@@ -1,4 +1,5 @@
 """Pallas Sinkhorn kernel vs pure-JAX reference (interpret mode on CPU)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_pallas_matches_balanced_and_nondebias():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match():
     x, y, a, b = _clouds(2, N=3)
 
@@ -83,6 +85,7 @@ def test_block_specs_satisfy_mosaic_tiling_rule():
             assert ok(spec.block_shape, arr), (spec.block_shape, arr)
 
 
+@pytest.mark.slow
 def test_pallas_pad_path_nonmultiple_of_group():
     """N not divisible by the 8-problem group must pad and slice correctly."""
     for N in (1, 7, 9):

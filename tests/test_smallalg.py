@@ -134,6 +134,7 @@ def test_rotation_horn_reflection_case():
     np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vmap_jit_compatibility():
     rs = np.random.RandomState(7)
     As = np.stack([rand_spd(rs, 12) for _ in range(8)]).astype(np.float32)

@@ -1,4 +1,5 @@
 """End-to-end integration: train step, KD step, eval pipeline, DP sharding."""
+import pytest
 import dataclasses
 
 import jax
@@ -42,6 +43,7 @@ def _tiny_consts(ds):
     return consts._replace(kp3d=consts.kp3d[:N_FG], diameters=consts.diameters[:N_FG])
 
 
+@pytest.mark.slow
 def test_baseline_train_step_reduces_loss():
     cfg = small_cfg()
     ds = small_data()
@@ -64,6 +66,7 @@ def test_baseline_train_step_reduces_loss():
     assert np.mean(losses[-5:]) < 0.55 * np.mean(losses[:5]), losses
 
 
+@pytest.mark.slow
 def test_kd_train_step_runs_with_teacher():
     cfg = small_cfg(kd_weight=5.0)
     cfg_t = small_cfg(backbone="darknet_tiny")
@@ -113,6 +116,7 @@ def _fabricated_outputs(batch: Batch, consts, cfg):
     return logits, reg.reshape(B, A, N_FG * 16)
 
 
+@pytest.mark.slow
 def test_eval_pipeline_perfect_predictions_score_100():
     """With fabricated exact predictions the whole postprocess+eval pipeline
     (voting -> inverse crop affine -> RANSAC-EPnP -> remap -> ADD/ADI) must
@@ -155,6 +159,7 @@ def test_eval_pipeline_perfect_predictions_score_100():
     assert adi and all(a == 100.0 for a in adi), all_results[0]["table"]
 
 
+@pytest.mark.slow
 def test_dp_sharded_train_step_8_devices():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from kd6d_pose_adlp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -211,6 +216,7 @@ def _fabricated_outputs_multi(batch: Batch, consts, cfg):
     return logits, reg.reshape(B, A, N_FG * 16)
 
 
+@pytest.mark.slow
 def test_multiclass_postprocess_recovers_both_objects():
     """Detection-style eval (VERDICT r1 weak 5): on a genuinely 2-object crop
     with distinct classes, build_postprocess_multi must return valid poses

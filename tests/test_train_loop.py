@@ -1,4 +1,5 @@
 """Training-loop driver: artifacts, checkpointing, resume."""
+import pytest
 import itertools
 import os
 
@@ -22,6 +23,7 @@ def _cfg(max_iter):
     )
 
 
+@pytest.mark.slow
 def test_loop_artifacts_and_resume(tmp_path):
     ds = SyntheticPoseDataset(n_fg=N_FG, input_res=RES, max_objs=2,
                               single_class=1, seed=11)
