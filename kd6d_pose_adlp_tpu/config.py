@@ -192,6 +192,12 @@ class KDConfig:
     reach: Optional[float] = 0.5
     max_teacher_cells: int = 64  # fixed-shape cap for teacher voted cells
     use_pallas: bool = True      # fused TPU kernel for the potential solve
+    # which class channel the teacher votes: "gt" gathers the image's GT
+    # class (identical to the reference's first-candidate label on
+    # single-object LINEMOD scenes and cheaper); "pred" votes the teacher's
+    # own best-scoring (anchor, class) pair — the reference
+    # postprocess/postprocess_kd.py semantics, REQUIRED for multi-class KD
+    teacher_class: str = "gt"
 
 
 @dataclasses.dataclass(frozen=True)

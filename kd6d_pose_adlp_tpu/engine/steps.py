@@ -59,21 +59,31 @@ def create_train_state(rng: jax.Array, cfg: Config, net: PoseNet,
 
 
 def teacher_knowledge(t_cls: jnp.ndarray, t_reg: jnp.ndarray, batch: Batch,
-                      cfg_t: Config, max_votes: int) -> Votes:
+                      cfg_t: Config, max_votes: int,
+                      teacher_class: str = "gt") -> Votes:
     """Teacher voted-cell extraction (reference PostProcessorKD,
     `postprocess/postprocess_kd.py` + `models/model_kd.py:83-92`).
 
-    Deviations (documented): the voted class is the image's GT class (the
-    reference votes the first candidate label — identical on single-class
-    LINEMOD scenes), and the teacher-side RANSAC-PnP is skipped since its
-    R|T outputs are never consumed by the KD loss.
+    `teacher_class="gt"` gathers the image's GT class — identical to the
+    reference's first-candidate label on single-object LINEMOD scenes.
+    `teacher_class="pred"` votes the class of the teacher's best-scoring
+    (anchor, class) pair, the reference's own semantics (it sorts candidate
+    cells by score and takes the first one's label) — required when a
+    multi-class teacher distills scenes whose content it must infer.
+    The teacher-side RANSAC-PnP is skipped in both modes since its R|T
+    outputs are never consumed by the KD loss (documented deviation).
     """
     m = cfg_t.model
-    gt_cls = jnp.clip(batch.class_ids[:, 0], 0)                   # (B,)
     scores = jax.nn.sigmoid(t_cls)                                # (B,A,nfg)
-    s = jnp.take_along_axis(scores, gt_cls[:, None, None], axis=2)[..., 0]
+    if teacher_class == "pred":
+        B = scores.shape[0]
+        best = jnp.argmax(scores.reshape(B, -1), axis=1)          # over A*nfg
+        voted_cls = (best % scores.shape[2]).astype(jnp.int32)    # (B,)
+    else:
+        voted_cls = jnp.clip(batch.class_ids[:, 0], 0)            # (B,)
+    s = jnp.take_along_axis(scores, voted_cls[:, None, None], axis=2)[..., 0]
     pred16 = select_class_pred(t_reg, jnp.broadcast_to(
-        gt_cls[:, None], s.shape))                                # (B,A,16)
+        voted_cls[:, None], s.shape))                             # (B,A,16)
     votes = vote_cells(
         s, pred16, input_res=m.input_res, strides=m.level_strides,
         all_sizes=m.anchor_sizes, confidence_th=cfg_t.test.confidence_th,
@@ -102,7 +112,8 @@ def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
             t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
             votes = teacher_knowledge(
                 jax.lax.stop_gradient(t_cls), jax.lax.stop_gradient(t_reg),
-                batch, cfg_t, cfg.kd.max_teacher_cells)
+                batch, cfg_t, cfg.kd.max_teacher_cells,
+                teacher_class=cfg.kd.teacher_class)
             teacher = (votes, w_img, h_img)
 
         def loss_fn(params):
@@ -188,7 +199,8 @@ def build_kd_debug(cfg: Config, cfg_t: Config, consts: TaskConsts,
     def debug_fn(variables, teacher_vars, batch: Batch, rng):
         t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
         votes = teacher_knowledge(t_cls, t_reg, batch, cfg_t,
-                                  cfg.kd.max_teacher_cells)
+                                  cfg.kd.max_teacher_cells,
+                                  teacher_class=cfg.kd.teacher_class)
         cls_logits, pred_reg = net.apply(variables, batch.images, train=False)
         tgt = prepare_targets(rng, batch, consts, cfg)
         anchors = jnp.asarray(anchor_lib.make_anchors(

@@ -260,12 +260,17 @@ def _orthonormalize_cols(X: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _subspace_init(n: int, k: int) -> jnp.ndarray:
+def _subspace_init(n: int, k: int):
     """Fixed generic init (deterministic; avoids pathological alignment with
-    any particular null space the way identity columns could)."""
+    any particular null space the way identity columns could).
+
+    Returns host NumPy on purpose: this is lru_cached, and any jnp value
+    produced while a jit trace is active is a tracer — caching it leaks the
+    tracer into the next compiled program (UnexpectedTracerError on the
+    second eval of a process). Callers jnp.asarray per use."""
     import numpy as np
     rs = np.random.RandomState(12345)
-    return jnp.asarray(np.linalg.qr(rs.randn(n, k))[0], jnp.float32)
+    return np.linalg.qr(rs.randn(n, k))[0].astype(np.float32)
 
 
 def smallest_eigvecs(A: jnp.ndarray, k: int = 4, iters: int = 8
@@ -289,7 +294,7 @@ def smallest_eigvecs(A: jnp.ndarray, k: int = 4, iters: int = 8
     n = A.shape[0]
     ridge = 1e-7 * jnp.trace(A) / n + 1e-12
     L = cholesky_fixed(A + ridge * jnp.eye(n, dtype=A.dtype), n)
-    X = _subspace_init(n, k)
+    X = jnp.asarray(_subspace_init(n, k))
     for _ in range(iters):
         X = chol_solve_fixed(L, X, n)
         X = _orthonormalize_cols(X)

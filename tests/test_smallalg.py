@@ -186,3 +186,21 @@ def test_rotation_horn_orthogonal_init_case():
     R = np.asarray(sa.rotation_horn(jnp.asarray(X), jnp.asarray(Y),
                                     jnp.ones((30,), jnp.float32)))
     np.testing.assert_allclose(R, Rt, atol=1e-3)
+
+
+def test_smallest_eigvecs_two_jit_traces_no_tracer_leak():
+    """_subspace_init is lru_cached: if it ever returns a jnp value created
+    during a trace, the cached tracer leaks into the SECOND compiled program
+    (UnexpectedTracerError crashed the eval of every second run in a process,
+    2026-08-17). The cache must hold host NumPy only."""
+    sa._subspace_init.cache_clear()
+    rs = np.random.RandomState(3)
+    M = rs.randn(20, 12).astype(np.float32)
+    A = jnp.asarray(M.T @ M)
+    f1 = jax.jit(lambda a: sa.smallest_eigvecs(a)[0])
+    f2 = jax.jit(lambda a: sa.smallest_eigvecs(a)[1])  # distinct trace
+    w = np.asarray(f1(A))
+    V = np.asarray(f2(A))  # raised UnexpectedTracerError before the fix
+    assert w.shape == (4,) and V.shape == (12, 4)
+    assert np.all(np.isfinite(V))
+    assert isinstance(sa._subspace_init(12, 4), np.ndarray)

@@ -51,6 +51,12 @@ def get_argparser():
     p.add_argument("--wot_detach", type=str2bool, nargs="?", const=True, default=False)
     p.add_argument("--scaling", type=float, default=0.5)
     p.add_argument("--reach", type=float, default=0.5)
+    p.add_argument("--kd_teacher_class", type=str, default="gt",
+                   choices=["gt", "pred"],
+                   help="teacher voted class: gt = image's GT label "
+                        "(single-object LINEMOD shortcut), pred = teacher's "
+                        "best-scoring candidate label (reference "
+                        "postprocess_kd semantics; required for multi-class)")
     # TPU-framework extras
     p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -75,7 +81,8 @@ def build_configs(args):
     kd = KDConfig(weight=args.kd_weight, level=args.kd_level, gtype=args.gtype,
                   glevel=args.glevel, p=args.p, blur=args.blur, gn_d=args.gnD,
                   weighted_ot=args.weightedOT, wot_detach=args.wot_detach,
-                  scaling=args.scaling, reach=args.reach)
+                  scaling=args.scaling, reach=args.reach,
+                  teacher_class=args.kd_teacher_class)
     cfg = load_yaml_config(args.config_file, backbone=args.backbone)
     cfg = cfg.replace(kd=kd, working_dir=args.working_dir)
     cfg = cfg.replace(
