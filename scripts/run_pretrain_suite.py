@@ -67,7 +67,7 @@ def suite_specs(args):
                    rescore_backbone="darknet_tiny_h")
     kd = dict(weight_file_t="__BEST_TEACHER__")  # resolved after the teacher run
     for b, tag in ((12, "s192"), (32, "s512"), (64, "rich")):
-        seeds = (0, 1) if tag == "rich" else (0, 1, 2)
+        seeds = (0, 1) if tag == "rich" else range(args.seeds)
         for s in seeds:
             runs.append((f"pt_{tag}_base_s{s}",
                          dict(student, batches=b, seed=s)))
@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--pretrain_steps", type=int, default=60000)
     ap.add_argument("--pretrain_batches", type=int, default=384)
     ap.add_argument("--teacher_steps", type=int, default=30000)
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="seed count for the s192/s512 A/B arms (already-"
+                         "done runs are skipped, so raising this extends "
+                         "an existing suite)")
     ap.add_argument("--eval_n", type=int, default=128)
     ap.add_argument("--rescore_n", type=int, default=384)
     ap.add_argument("--only", type=str, default="")
