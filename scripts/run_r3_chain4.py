@@ -1,0 +1,99 @@
+"""Round-3 TPU resume chain, ONE process / one chip claim.
+
+Launched (by scripts/watch_tunnel.sh) after the 19:27 tunnel outage killed
+chain2 mid-suite. Re-runs ALL remaining round-3 chip work in priority
+order — run_pretrain_suite skips completed runs, so only the lost arms
+re-execute:
+
+  1. Pretrained-init KD suite resume (s192 seed 2, s512, rich, rescores).
+  2. Perf suite (BN folding + narrow-stage variants + 2.5k-step A/B).
+  3. BOP-on-disk rehearsal (train_kd.py --data bop + test.py).
+  4. Pallas fused-conv A/B (scripts/bench_conv_pallas.py).
+  5. Component probe with profiler trace.
+  6. bench.py headline capture.
+
+Phases are isolated: a failure logs and the next phase still runs.
+
+Run: nohup python scripts/run_r3_chain4.py > results/r3_chain4.log 2>&1 &
+"""
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+os.chdir(REPO)
+
+
+def phase(name, fn):
+    print(f"\n===== CHAIN4: {name} =====", flush=True)
+    try:
+        fn()
+        return True
+    except Exception:
+        traceback.print_exc()
+        return False
+
+
+def main():
+    import bench_components
+    import bench_conv_pallas
+    import run_perf_suite
+    import run_pretrain_suite
+
+    def p_suite():
+        sys.argv = ["run_pretrain_suite.py"]
+        run_pretrain_suite.main()
+
+    def p_perf():
+        sys.argv = ["run_perf_suite.py", "--train_ab"]
+        run_perf_suite.main()
+
+    def p_bop_train():
+        import train_kd
+        sys.argv = ["train_kd.py",
+                    "--config_file", "outputs/bop_synth/config.yaml",
+                    "--data", "bop", "--max_iters", "2000",
+                    "--kd_weight", "0", "--num_workers", "1",
+                    "--vis_every", "0",
+                    "--working_dir", "outputs/bop_rehearsal/"]
+        train_kd.main()
+
+    def p_bop_eval():
+        import test as test_cli
+        sys.argv = ["test.py",
+                    "--config_file", "outputs/bop_synth/config.yaml",
+                    "--data", "bop",
+                    "--weight_file", "outputs/bop_rehearsal/final.ckpt",
+                    "--working_dir", "outputs/bop_rehearsal_eval/"]
+        test_cli.main()
+
+    def p_conv_ab():
+        sys.argv = ["bench_conv_pallas.py"]
+        bench_conv_pallas.main()
+
+    def p_components():
+        sys.argv = ["bench_components.py", "--trace"]
+        bench_components.main()
+
+    def p_bench():
+        import bench
+        sys.argv = ["bench.py"]
+        bench.main()
+
+    ok = {}
+    ok["suite"] = phase("pretrain suite resume", p_suite)
+    ok["perf"] = phase("perf suite", p_perf)
+    ok["bop_train"] = phase("bop rehearsal train", p_bop_train)
+    ok["bop_eval"] = phase("bop rehearsal eval", p_bop_eval)
+    ok["conv_ab"] = phase("conv pallas A/B", p_conv_ab)
+    ok["components"] = phase("component probe (+trace)", p_components)
+    ok["bench"] = phase("bench headline", p_bench)
+    print(f"\nR3-CHAIN4-DONE {ok}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
