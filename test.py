@@ -24,9 +24,14 @@ def main():
     p.add_argument("--eval_all_classes", action="store_true",
                    help="also run detection-style eval over every class "
                         "(recovery rate / false positives / ADI rate)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (also via KD6D_CPU=1); see "
+                        "train_kd.py --cpu")
     args = p.parse_args()
 
     import jax
+    if args.cpu or os.environ.get("KD6D_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache

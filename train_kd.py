@@ -72,6 +72,13 @@ def get_argparser():
                    help="fold the frozen teacher's BN into its conv weights")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (also via KD6D_CPU=1). The "
+                        "axon sitecustomize registers the TPU at interpreter "
+                        "start and ignores JAX_PLATFORMS=cpu; this sets "
+                        "jax_platforms before any device use — required for "
+                        "CPU smokes, and for ANY run while another process "
+                        "holds the single TPU claim")
     return p
 
 
@@ -99,6 +106,8 @@ def build_configs(args):
 def main():
     args = get_argparser().parse_args()
     import jax
+    if args.cpu or os.environ.get("KD6D_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     if args.distributed:
         # multi-host SPMD: one process per host; eval predictions are merged
         # via parallel.mesh.gather_host_objects inside evaluator.valid
