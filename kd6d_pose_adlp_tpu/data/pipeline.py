@@ -187,7 +187,9 @@ class BOPPoseDataset:
             R_arr[i] = Rs[i]
             T_arr[i] = Ts[i]
         return dict(
-            image=T.normalize_fast(crop), mask=mask_c, class_ids=cls_arr,
+            # raw uint8 BGR crop: PoseNet normalizes on device (uint8 path);
+            # 4x smaller than f32 for collate + host->device transfer
+            image=crop, mask=mask_c, class_ids=cls_arr,
             rotations=R_arr, translations=T_arr, bbox_trans=Mc,
             meta=dict(filename=(path if focus_obj is None
                                 else f"{path}#obj{focus_obj}"),
@@ -198,8 +200,12 @@ class BOPPoseDataset:
 
 
 def collate(samples: List[Dict]) -> Batch:
-    import jax.numpy as jnp
-    stack = lambda k: jnp.asarray(np.stack([s[k] for s in samples]))
+    # host NumPy, NOT jnp: a jnp.asarray here costs ~360 ms/batch of
+    # dispatch on the 1-core host (and on TPU would re-upload through the
+    # tunnel from the producer thread); the jitted step transfers the
+    # arrays once at call time instead — same lesson as
+    # SyntheticPoseDataset.batch (data/synthetic.py)
+    stack = lambda k: np.stack([s[k] for s in samples])
     return Batch(images=stack("image"), mask=stack("mask"),
                  class_ids=stack("class_ids"), rotations=stack("rotations"),
                  translations=stack("translations"), bbox_trans=stack("bbox_trans"))

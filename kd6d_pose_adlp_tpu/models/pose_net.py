@@ -44,7 +44,16 @@ class PoseNet(nn.Module):
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images (B, H, W, 3) -> (cls (B, A, n_fg), reg (B, A, n_fg*16)), f32."""
+        """images (B, H, W, 3) -> (cls (B, A, n_fg), reg (B, A, n_fg*16)), f32.
+
+        uint8 input = raw BGR crops (the BOP host pipeline ships these —
+        4x less host->device traffic than normalized f32); the ImageNet
+        normalize then runs on device in f32 and fuses into the stem conv.
+        float input is assumed already normalized RGB (synthetic pools)."""
+        if images.dtype == jnp.uint8:
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+            x = images[..., ::-1].astype(jnp.float32)
+            images = (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         backbone = make_backbone(self.cfg, dtype=dtype, name="backbone")
         feats = backbone(images.astype(dtype), train=train)

