@@ -49,7 +49,10 @@ def main():
         run_pretrain_suite.main()
 
     def p_perf():
-        sys.argv = ["run_perf_suite.py", "--train_ab"]
+        # bs128 point added: the KD step gains +38% going 16->64 (BASELINE
+        # component table); the curve's knee decides the recommended batch
+        sys.argv = ["run_perf_suite.py", "--train_ab",
+                    "--batches", "16", "64", "128"]
         run_perf_suite.main()
 
     def p_bop_train():
