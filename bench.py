@@ -31,10 +31,46 @@ V100_MFU = 0.5
 TARGET_MULTIPLE = 5.0
 
 
+def _tunnel_up(port: int = 8082, timeout_s: float = 3.0) -> bool:
+    """TCP-probe the axon relay's first loopback port. When the relay is
+    DOWN, jax device init does not raise — it BLOCKS forever (observed
+    2026-08-17 outage, CLAUDE.md), so fail-soft needs this pre-check."""
+    import os
+    import socket
+    if not os.path.exists(os.path.expanduser("~/.tpu_init.py")):
+        return True  # no axon relay in this image: nothing to probe
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=timeout_s):
+            return True
+    except OSError:
+        return False
+
+
 def _init_platform():
     """Initialize a backend; fall back to CPU if the TPU claim is unavailable
     (single-process chip with minutes-long claim release, see CLAUDE.md)."""
+    import os
+    import sys
+    import time
+
     import jax
+    if os.environ.get("KD6D_CPU", "") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        return jax, jax.devices()[0].platform
+    if not _tunnel_up():
+        # relay outage: wait a bounded window (it may be flapping), then
+        # degrade to CPU instead of hanging the whole benchmark run
+        deadline = time.time() + float(
+            os.environ.get("KD6D_BENCH_TUNNEL_WAIT", "600"))
+        print("[bench] axon relay port closed; waiting for tunnel",
+              file=sys.stderr, flush=True)
+        while time.time() < deadline and not _tunnel_up():
+            time.sleep(15)
+        if not _tunnel_up():
+            print("[bench] tunnel still down; falling back to CPU",
+                  file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            return jax, jax.devices()[0].platform
     try:
         dev = jax.devices()[0]
         return jax, dev.platform
@@ -135,6 +171,11 @@ def main():
     except Exception:
         flops_per_step = float("nan")
 
+    # On the CPU-fallback path (tunnel outage / claim unavailable) the full
+    # darknet53+student step runs ~100x slower than on the chip: shrink the
+    # measurement so the degraded benchmark still completes in minutes.
+    on_cpu = platform == "cpu"
+
     rng = jax.random.PRNGKey(2)
     # warmup / compile
     for _ in range(3):
@@ -142,7 +183,7 @@ def main():
         state, metrics = step_fn(state, t_vars, batch, sub)
     jax.block_until_ready(metrics["loss_total"])
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4" if on_cpu else "30"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         rng, sub = jax.random.split(rng)
@@ -155,27 +196,37 @@ def main():
     # in one dispatch, state threading through — replay-proof and free of
     # the tunnel's per-dispatch overhead); `ips` above stays the headline
     # because it reflects what a host-driven loop actually sustains
-    from kd6d_pose_adlp_tpu.engine.steps import build_multi_step
-    K_STEP = 8
-    multi = jax.jit(build_multi_step(cfg, cfg_t, consts, net, teacher_net,
-                                     opt, distill=True, pool_size=1),
-                    donate_argnums=(0,), static_argnums=(5,))
-    pool1 = jax.tree_util.tree_map(lambda x: x[None], batch)
-    mstate, mrng, m = multi(state, t_vars, pool1, rng,
-                            jnp.zeros((), jnp.int32), K_STEP)
-    jax.block_until_ready(m["loss_total"])
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mstate, mrng, m = multi(mstate, t_vars, pool1, mrng,
+    if on_cpu:
+        # the scanned multi-step is a TPU-dispatch-overhead measurement; on
+        # the CPU fallback it runs pathologically slowly (~320 s/step
+        # observed) and would blow the degraded benchmark's time budget
+        device_ips = None
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    else:
+        from kd6d_pose_adlp_tpu.engine.steps import build_multi_step
+        K_STEP = 8
+        multi = jax.jit(build_multi_step(cfg, cfg_t, consts, net, teacher_net,
+                                         opt, distill=True, pool_size=1),
+                        donate_argnums=(0,), static_argnums=(5,))
+        pool1 = jax.tree_util.tree_map(lambda x: x[None], batch)
+        mstate, mrng, m = multi(state, t_vars, pool1, rng,
                                 jnp.zeros((), jnp.int32), K_STEP)
-    jax.block_until_ready(m["loss_total"])
-    device_ips = batch_size * K_STEP * reps / (time.perf_counter() - t0)
+        jax.block_until_ready(m["loss_total"])
+        reps = 4
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            mstate, mrng, m = multi(mstate, t_vars, pool1, mrng,
+                                    jnp.zeros((), jnp.int32), K_STEP)
+        jax.block_until_ready(m["loss_total"])
+        device_ips = batch_size * K_STEP * reps / (time.perf_counter() - t0)
 
     # --- pure student inference (darknet_tiny_h forward, eval mode) ---
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "64"))
-    # state was donated into the multi-step above — use its successor
-    variables = {"params": mstate.params, "batch_stats": mstate.batch_stats}
+    if not on_cpu:
+        # state was donated into the multi-step above — use its successor
+        variables = {"params": mstate.params,
+                     "batch_stats": mstate.batch_stats}
     images = jnp.asarray(
         np.tile(np.asarray(batch.images, np.float32),
                 (infer_batch // batch_size + 1, 1, 1, 1))[:infer_batch]
@@ -186,7 +237,7 @@ def main():
     # rates (226%-"MFU" forwards in scripts/bench_components.py), and even
     # input-cycling doesn't defeat it; the chained scan measures pure
     # device throughput.
-    K_INF = int(os.environ.get("BENCH_INFER_STEPS", "32"))
+    K_INF = int(os.environ.get("BENCH_INFER_STEPS", "4" if on_cpu else "32"))
 
     @jax.jit
     def infer_k(v, x):
@@ -201,7 +252,7 @@ def main():
 
     out = infer_k(variables, images)
     jax.block_until_ready(out)
-    reps = 4
+    reps = 1 if on_cpu else 4
     t0 = time.perf_counter()
     for _ in range(reps):
         # feed each rep's (epsilon-perturbed) output back in: every call has
@@ -221,7 +272,8 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-        "device_step_images_per_sec": round(device_ips, 2),
+        "device_step_images_per_sec":
+        round(device_ips, 2) if device_ips is not None else None,
         "infer_images_per_sec": round(infer_ips, 2),
         "platform": platform,
         "teacher_bn_folded": fold_bn,
