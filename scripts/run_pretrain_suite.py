@@ -67,7 +67,12 @@ def suite_specs(args):
                    rescore_backbone="darknet_tiny_h")
     kd = dict(weight_file_t="__BEST_TEACHER__")  # resolved after the teacher run
     for b, tag in ((12, "s192"), (32, "s512"), (64, "rich")):
-        seeds = (0, 1) if tag == "rich" else range(args.seeds)
+        if tag == "rich":
+            seeds = (0, 1)
+        elif tag == "s192":
+            seeds = range(max(args.seeds, args.seeds192))
+        else:
+            seeds = range(args.seeds)
         for s in seeds:
             runs.append((f"pt_{tag}_base_s{s}",
                          dict(student, batches=b, seed=s)))
@@ -92,6 +97,10 @@ def main():
                     help="seed count for the s192/s512 A/B arms (already-"
                          "done runs are skipped, so raising this extends "
                          "an existing suite)")
+    ap.add_argument("--seeds192", type=int, default=0,
+                    help="extra seed count for the s192 arms only (the "
+                         "reference-ape scale where the paper's claim "
+                         "lives); effective count = max(seeds, seeds192)")
     ap.add_argument("--eval_n", type=int, default=128)
     ap.add_argument("--rescore_n", type=int, default=384)
     ap.add_argument("--only", type=str, default="")

@@ -45,7 +45,10 @@ def main():
     import run_pretrain_suite
 
     def p_suite():
-        sys.argv = ["run_pretrain_suite.py"]
+        # 5 seed pairs at the s192 (reference-ape) scale: the partial suite
+        # shows kd5 +2.7 ADI.10d mean over 2 seeds — n=5 tightens the
+        # headline claim either way for ~40 min of extra chip time
+        sys.argv = ["run_pretrain_suite.py", "--seeds192", "5"]
         run_pretrain_suite.main()
 
     def p_perf():
