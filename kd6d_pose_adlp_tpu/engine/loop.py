@@ -42,6 +42,7 @@ def train(cfg: Config,
           vis_every: int = 0,
           pool: Optional[Batch] = None,
           steps_per_dispatch: int = 50,
+          cache_teacher: bool = False,
           backbone_init: Optional[str] = None,
           verbose: bool = True) -> TrainState:
     """Runs the full schedule; returns the final TrainState.
@@ -54,6 +55,11 @@ def train(cfg: Config,
       pool axis; the loop then scans `steps_per_dispatch` steps per host
       dispatch (amortizes the per-dispatch RTT of the remote-tunnel TPU),
       cycling batches in the same order `itertools.cycle` would.
+    - `cache_teacher` (pool + distillation only): precompute the frozen
+      teacher's voted knowledge for every pool batch ONCE and train the
+      student against the cache — same math with the teacher forward
+      hoisted out of the step (~70% of KD-step FLOPs; exact for a static
+      pool, where teacher inputs repeat every epoch).
     """
     working_dir = working_dir or cfg.working_dir
     os.makedirs(working_dir, exist_ok=True)
@@ -114,9 +120,11 @@ def train(cfg: Config,
             from jax.sharding import NamedSharding, PartitionSpec
             pool = jax.device_put(pool, NamedSharding(
                 mesh, PartitionSpec(None, "data")))
+        cache_teacher = cache_teacher and distill
         multi_fn = jax.jit(
             build_multi_step(cfg, cfg_t, consts, net, teacher_net, optimizer,
-                             distill=distill, pool_size=pool_size),
+                             distill=distill, pool_size=pool_size,
+                             cached_votes=cache_teacher),
             donate_argnums=(0,), static_argnums=(5,))
 
     kd_debug = None
@@ -135,6 +143,18 @@ def train(cfg: Config,
         # iteration — observed 960 -> 4 images/sec on the remote-tunnel TPU
         teacher_variables = jax.device_put(teacher_variables)
 
+    teacher_arg = teacher_variables
+    if pool is not None and cache_teacher and distill:
+        from .steps import precompute_pool_votes
+        t0 = time.time()
+        teacher_arg = precompute_pool_votes(cfg, cfg_t, teacher_net,
+                                            teacher_variables, pool)
+        jax.block_until_ready(teacher_arg.score)
+        if verbose:
+            print(f"teacher knowledge cached for "
+                  f"{int(teacher_arg.score.shape[0])} pool batches "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
     logger = ScalarLogger(working_dir)
     meter = Throughput()
     with open(os.path.join(working_dir, "cfg.json"), "w") as f:
@@ -150,7 +170,7 @@ def train(cfg: Config,
                 cfg.solver.max_iter)
             k = int(min(steps_per_dispatch, boundary - step))
             state, rng, metrics = multi_fn(
-                state, teacher_variables, pool, rng,
+                state, teacher_arg, pool, rng,
                 jnp.asarray(step % pool_size, jnp.int32), k)
             step += k
             meter.update(bs * k)

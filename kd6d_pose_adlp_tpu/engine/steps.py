@@ -97,18 +97,23 @@ def teacher_knowledge(t_cls: jnp.ndarray, t_reg: jnp.ndarray, batch: Batch,
 
 def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
                      net: PoseNet, teacher_net: Optional[PoseNet], optimizer,
-                     distill: bool = True):
+                     distill: bool = True, cached_votes: bool = False):
     """Returns step_fn(state, teacher_vars, batch, rng) -> (state, metrics).
 
     With distill=False (kd_weight 0 baseline, reference train.sh:3) the
-    teacher is skipped entirely.
+    teacher is skipped entirely. With cached_votes=True the second argument
+    is a precomputed `Votes` for this batch instead of teacher variables
+    (frozen-teacher knowledge caching, see precompute_pool_votes) and the
+    teacher forward drops out of the step.
     """
 
     w_img, h_img = float(cfg.data.internal_width), float(cfg.data.internal_height)
 
     def step_fn(state: TrainState, teacher_vars, batch: Batch, rng: jax.Array):
         teacher = None
-        if distill and teacher_net is not None:
+        if distill and cached_votes:
+            teacher = (teacher_vars, w_img, h_img)  # teacher_vars IS Votes
+        elif distill and teacher_net is not None:
             t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
             votes = teacher_knowledge(
                 jax.lax.stop_gradient(t_cls), jax.lax.stop_gradient(t_reg),
@@ -147,9 +152,40 @@ def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
     return step_fn
 
 
+def teacher_votes(cfg: Config, cfg_t: Config, teacher_net: PoseNet,
+                  teacher_vars, batch: Batch) -> Votes:
+    """Teacher forward + voted-knowledge extraction for one batch (the
+    distillation step's teacher half, as a standalone computation)."""
+    t_cls, t_reg = teacher_net.apply(teacher_vars, batch.images, train=False)
+    return teacher_knowledge(
+        jax.lax.stop_gradient(t_cls), jax.lax.stop_gradient(t_reg),
+        batch, cfg_t, cfg.kd.max_teacher_cells,
+        teacher_class=cfg.kd.teacher_class)
+
+
+def precompute_pool_votes(cfg: Config, cfg_t: Config, teacher_net: PoseNet,
+                          teacher_vars, pool: Batch) -> Votes:
+    """Frozen-teacher knowledge for a device-resident batch pool, ONCE.
+
+    The teacher is frozen and a pool is static, so its voted knowledge per
+    pool entry is constant across epochs — recomputing it every step (the
+    reference must: DZI re-crops each epoch, `dataset/dataset.py` getitem)
+    spends ~70% of the KD step's FLOPs (darknet53 teacher 2,119 of 2,988
+    GFLOP, BASELINE.md) on identical results. One sequential `lax.map`
+    bounds peak memory at a single teacher activation set; the returned
+    Votes pytree (leading pool axis) is ~100x smaller than the pool images.
+    """
+    @jax.jit
+    def all_votes(tv, pl):
+        return jax.lax.map(lambda b: teacher_votes(cfg, cfg_t, teacher_net,
+                                                   tv, b), pl)
+    return all_votes(teacher_vars, pool)
+
+
 def build_multi_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
                      net: PoseNet, teacher_net: Optional[PoseNet], optimizer,
-                     distill: bool, pool_size: int):
+                     distill: bool, pool_size: int,
+                     cached_votes: bool = False):
     """K train steps per host dispatch: `lax.scan` over a device-resident
     batch pool (a Batch pytree with a leading (pool_size,) axis).
 
@@ -162,16 +198,19 @@ def build_multi_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
     static; metrics are the per-step means (and num_pos of the last step).
     """
     step_fn = build_train_step(cfg, cfg_t, consts, net, teacher_net, optimizer,
-                               distill=distill)
+                               distill=distill, cached_votes=cached_votes)
 
     def multi_fn(state: TrainState, teacher_vars, pool: Batch, rng: jax.Array,
                  start: jnp.ndarray, k: int):
         def body(carry, i):
             st, key = carry
             key, sub = jax.random.split(key)
-            batch = jax.tree_util.tree_map(
-                lambda x: x[(start + i) % pool_size], pool)
-            st, metrics = step_fn(st, teacher_vars, batch, sub)
+            idx = (start + i) % pool_size
+            batch = jax.tree_util.tree_map(lambda x: x[idx], pool)
+            tv = teacher_vars
+            if cached_votes:  # teacher_vars = pool-wide Votes; pick the batch
+                tv = jax.tree_util.tree_map(lambda x: x[idx], teacher_vars)
+            st, metrics = step_fn(st, tv, batch, sub)
             return (st, key), metrics
 
         (state, rng), ms = jax.lax.scan(body, (state, rng),

@@ -39,6 +39,7 @@ def phase(name, fn):
 
 
 def main():
+    import bench_cache_teacher
     import bench_components
     import bench_conv_pallas
     import run_perf_suite
@@ -57,6 +58,10 @@ def main():
         sys.argv = ["run_perf_suite.py", "--train_ab",
                     "--batches", "16", "64", "128"]
         run_perf_suite.main()
+
+    def p_cache_ab():
+        sys.argv = ["bench_cache_teacher.py"]
+        bench_cache_teacher.main()
 
     def p_bop_train():
         import train_kd
@@ -93,6 +98,7 @@ def main():
     ok = {}
     ok["suite"] = phase("pretrain suite resume", p_suite)
     ok["perf"] = phase("perf suite", p_perf)
+    ok["cache_ab"] = phase("teacher-knowledge cache A/B", p_cache_ab)
     ok["bop_train"] = phase("bop rehearsal train", p_bop_train)
     ok["bop_eval"] = phase("bop rehearsal eval", p_bop_eval)
     ok["conv_ab"] = phase("conv pallas A/B", p_conv_ab)

@@ -57,6 +57,10 @@ def build_parser():
     ap.add_argument("--steps_per_dispatch", type=int, default=50,
                     help="train steps per host dispatch (lax.scan over the "
                          "device pool); 0 = one dispatch per step")
+    ap.add_argument("--cache_teacher", type=int, default=0,
+                    help="precompute frozen-teacher knowledge for the device "
+                         "pool once (exact for a static pool; removes the "
+                         "teacher forward ~70%% of KD-step FLOPs)")
     ap.add_argument("--cpu", action="store_true")
     return ap
 
@@ -227,6 +231,7 @@ def run(args):
           cfg_t=cfg_t if teacher_variables is not None else None,
           teacher_variables=teacher_variables, eval_fn=eval_fn,
           pool=device_pool, steps_per_dispatch=args.steps_per_dispatch,
+          cache_teacher=bool(args.cache_teacher),
           backbone_init=args.backbone_init or None,
           working_dir=args.working_dir, resume=False)
     return {"final": results, "backbone": args.backbone,
