@@ -18,6 +18,7 @@ import sys
 from collections import defaultdict
 
 METRICS = ("ADI.05d", "ADI.10d", "REP05px")
+METRICS_RESCORE = ("ADI.10d", "AUC", "REP05px")  # 384-scene rescore adds AUC
 
 
 def get(d, name, kind):
@@ -57,19 +58,21 @@ def main(path="results/pretrain_suite2.json"):
                 pr = pairs(d, tag, w, kind)
                 if not pr:
                     continue
+                metrics = METRICS if kind == "final" else METRICS_RESCORE
+                metrics = tuple(m for m in metrics if m in pr[0][1])
                 print(f"\n{tag} {w}: {len(pr)} seed pairs")
-                header = "  seed " + "".join(f"{m:>22s}" for m in METRICS)
+                header = "  seed " + "".join(f"{m:>22s}" for m in metrics)
                 print(header + "   (base -> kd, delta)")
                 agg = defaultdict(list)
                 for s, b, k in pr:
                     row = f"  {s:4d} "
-                    for m in METRICS:
+                    for m in metrics:
                         delta = k[m] - b[m]
                         agg[m].append(delta)
                         row += f"  {b[m]:6.2f}->{k[m]:6.2f} {delta:+6.2f}"
                     print(row)
                 summary = "  mean "
-                for m in METRICS:
+                for m in metrics:
                     mu, sd, sem = fmt_stats(agg[m])
                     summary += f"  {mu:+6.2f} (sd {sd:5.2f}, sem {sem:4.2f})"
                 print(summary)
