@@ -41,7 +41,24 @@ def main():
     ap.add_argument("--train_ab", action="store_true")
     ap.add_argument("--ab_steps", type=int, default=2500)
     ap.add_argument("--out", type=str, default="results/perf_suite.json")
+    ap.add_argument("--cpu_smoke", action="store_true",
+                    help="CPU backend + 128px + tiny counts: validates the "
+                         "script end-to-end without a chip (timings are "
+                         "meaningless)")
     args = ap.parse_args()
+
+    res = 256
+    K, KS = 16, 8  # chained forwards / steps per timing dispatch
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+        res = 128  # smallest with the full P3..P7 pyramid (P7 stride 128)
+        args.batches = [2]
+        args.ab_steps = min(args.ab_steps, 8)
+        args.out = "results/perf_suite_cpu_smoke.json"
+        K, KS = 2, 2
+        global timeit
+        _t = timeit
+        timeit = lambda fn, *a: _t(fn, *a, n=1, warmup=1, reps=1)  # noqa: E731
 
     from kd6d_pose_adlp_tpu.config import Config, ModelConfig
     from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
@@ -74,7 +91,8 @@ def main():
             return carry["x"]
         return call
 
-    def chained_step(cfg_s, cfg_tt, net, tn, distill, tv, consts, pool1, k=8):
+    def chained_step(cfg_s, cfg_tt, net, tn, distill, tv, consts, pool1,
+                     k=KS):
         opt = make_optimizer(cfg_s)
         multi = jax.jit(
             build_multi_step(cfg_s, cfg_tt, consts, net, tn, opt,
@@ -92,20 +110,20 @@ def main():
 
     mfu = lambda f, t: round(100 * f / t / V5E_BF16_PEAK, 2)
 
-    cfg = Config(model=ModelConfig(backbone="darknet_tiny_h",
+    cfg = Config(model=ModelConfig(backbone="darknet_tiny_h", input_res=res,
                                    compute_dtype="bfloat16"))
     n_fg = cfg.data.n_fg
-    ds = SyntheticPoseDataset(n_fg=n_fg, input_res=256, max_objs=8,
+    ds = SyntheticPoseDataset(n_fg=n_fg, input_res=res, max_objs=8,
                               single_class=0, seed=0)
     consts = ds.consts()
 
-    cfg_tu = Config(model=ModelConfig(backbone="darknet53",
+    cfg_tu = Config(model=ModelConfig(backbone="darknet53", input_res=res,
                                       compute_dtype="bfloat16"))
     cfg_tf = cfg_tu.replace(model=dataclasses.replace(
         cfg_tu.model, bn_folded=True))
     tnet_u = PoseNet(cfg=cfg_tu.model, n_fg=n_fg)
     tnet_f = PoseNet(cfg=cfg_tf.model, n_fg=n_fg)
-    tvars_u = tnet_u.init(jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3)))
+    tvars_u = tnet_u.init(jax.random.PRNGKey(1), jnp.zeros((1, res, res, 3)))
     tvars_f = jax.device_put(fold_batchnorm(jax.device_get(tvars_u)))
     tvars_u = jax.device_put(tvars_u)
 
@@ -116,7 +134,6 @@ def main():
         pool1 = jax.tree_util.tree_map(lambda x: x[None], batch)
         r = {}
 
-        K = 16
         t_u = timeit(chained_fwd(tnet_u, K, batch.images), tvars_u) / K
         t_f = timeit(chained_fwd(tnet_f, K, batch.images), tvars_f) / K
         f_t = flops_of(jax.jit(lambda v, x: tnet_f.apply(v, x, train=False)),
@@ -127,9 +144,9 @@ def main():
                                "folded_mfu_pct": mfu(f_t, t_f)}
 
         t_kd_u = timeit(chained_step(cfg, cfg_tu, net, tnet_u, True, tvars_u,
-                                     consts, pool1)) / 8
+                                     consts, pool1)) / KS
         t_kd_f = timeit(chained_step(cfg, cfg_tf, net, tnet_f, True, tvars_f,
-                                     consts, pool1)) / 8
+                                     consts, pool1)) / KS
         opt = make_optimizer(cfg)
         from kd6d_pose_adlp_tpu.engine.steps import build_train_step
         st = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
@@ -145,14 +162,14 @@ def main():
         r["variants"] = {}
         for bb in ("darknet_tiny_h", "darknet_tiny_h_wide",
                    "darknet_tiny_h_s2d"):
-            cfg_v = Config(model=ModelConfig(backbone=bb,
+            cfg_v = Config(model=ModelConfig(backbone=bb, input_res=res,
                                              compute_dtype="bfloat16"))
             net_v = PoseNet(cfg=cfg_v.model, n_fg=n_fg)
             sv = net_v.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 256, 256, 3)))
+                            jnp.zeros((1, res, res, 3)))
             t_fwd = timeit(chained_fwd(net_v, K, batch.images), sv) / K
             t_step = timeit(chained_step(cfg_v, None, net_v, None, False,
-                                         None, consts, pool1)) / 8
+                                         None, consts, pool1)) / KS
             f_fwd = flops_of(jax.jit(
                 lambda v, x, n_=net_v: n_.apply(v, x, train=False)),
                 sv, batch.images)
@@ -172,6 +189,12 @@ def main():
         base_ns = tst.build_parser().parse_args([])
         base_ns.steps = args.ab_steps
         base_ns.eval_n = 128
+        if args.cpu_smoke:
+            base_ns.cpu = True
+            base_ns.input_res = res
+            base_ns.batch_size = 2
+            base_ns.batches = 2
+            base_ns.eval_n = 4
         cache = {}
         for bb in ("darknet_tiny_h", "darknet_tiny_h_wide",
                    "darknet_tiny_h_s2d"):
