@@ -101,6 +101,37 @@ def test_cached_multi_step_matches_live():
 
 
 @pytest.mark.slow
+def test_cache_teacher_dp_mesh(tmp_path):
+    # cached-votes multi-step over a 2-device DP mesh: the votes cache is
+    # computed from the sharded pool inside jit (sharding propagates) and
+    # the run must track the single-device cached run
+    import dataclasses
+
+    from kd6d_pose_adlp_tpu.engine.loop import train
+    from kd6d_pose_adlp_tpu.parallel.mesh import make_mesh
+
+    cfg, cfg_t, consts, pool, net, teacher_net, t_vars = _setup()
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, max_iter=4))
+    # make_optimizer divides base_lr by device count; halve the
+    # single-device LR so both runs apply identical updates
+    cfg_single = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, base_lr=cfg.solver.base_lr / 2))
+    st_one = train(cfg_single, consts, None, cfg_t=cfg_t,
+                   teacher_variables=t_vars, pool=pool,
+                   steps_per_dispatch=4, cache_teacher=True,
+                   working_dir=str(tmp_path / "one"), resume=False,
+                   verbose=False)
+    st_mesh = train(cfg, consts, None, cfg_t=cfg_t, teacher_variables=t_vars,
+                    pool=jax.device_get(pool), mesh=make_mesh(2),
+                    steps_per_dispatch=4, cache_teacher=True,
+                    working_dir=str(tmp_path / "mesh"), resume=False,
+                    verbose=False)
+    for a, b in zip(jax.tree_util.tree_leaves(st_one.params),
+                    jax.tree_util.tree_leaves(st_mesh.params)):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 5e-3
+
+
+@pytest.mark.slow
 def test_train_loop_cache_teacher_smoke(tmp_path):
     # loop-level wiring: train() with cache_teacher=True runs end to end
     from kd6d_pose_adlp_tpu.engine.loop import train
