@@ -66,6 +66,8 @@ def suite_specs(args):
                    backbone_init=PRETRAIN_TINY + "final.ckpt",
                    rescore_backbone="darknet_tiny_h")
     kd = dict(weight_file_t="__BEST_TEACHER__")  # resolved after the teacher run
+    if getattr(args, "cache_kd", False):
+        kd["cache_teacher"] = 1
     for b, tag in ((12, "s192"), (32, "s512"), (64, "rich")):
         if tag == "rich":
             seeds = (0, 1)
@@ -105,6 +107,11 @@ def main():
     ap.add_argument("--rescore_n", type=int, default=384)
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--skip_rescore", action="store_true")
+    ap.add_argument("--cache_kd", action="store_true",
+                    help="run KD arms with --cache_teacher (frozen-teacher "
+                         "knowledge cache; ~3x faster KD runs). Only for a "
+                         "short chip window — mixes protocol with "
+                         "live-teacher arms already in the summary")
     ap.add_argument("--out", type=str, default="results/pretrain_suite2.json")
     # smoke-test passthroughs
     ap.add_argument("--cpu", action="store_true")
