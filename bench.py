@@ -267,7 +267,7 @@ def main():
     else:
         vs_baseline = float("nan")
 
-    print(json.dumps({
+    result = {
         "metric": "kd_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -281,7 +281,32 @@ def main():
         "pallas_vs_jax_rel_diff": pallas_diff,
         "step_tflops": round(flops_per_step / 1e12, 3)
         if np.isfinite(flops_per_step) else None,
-    }))
+    }
+    last_chip = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "results", "bench_last_chip.json")
+    if not on_cpu:
+        # self-maintained record of the most recent on-chip measurement, so
+        # a CPU-fallback run during a relay outage can still point at the
+        # round's real hardware numbers
+        try:
+            os.makedirs(os.path.dirname(last_chip), exist_ok=True)
+            with open(last_chip, "w") as f:
+                json.dump(dict(result, captured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())), f)
+        except OSError:
+            pass
+    else:
+        # degraded run: the value above is single-core CPU throughput, not a
+        # chip measurement — attach the last real-hardware capture alongside
+        try:
+            with open(last_chip) as f:
+                result["last_chip_capture"] = json.load(f)
+            result["note"] = ("axon relay down at bench time; value is the "
+                              "CPU-fallback rate — see last_chip_capture for "
+                              "the most recent on-chip measurement")
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
