@@ -238,9 +238,10 @@ class PrefetchLoader:
                 samples.append(s)
         return collate(samples), [s["meta"] for s in samples]
 
-    def _index_stream(self, stop):
+    def _index_stream(self):
         """Batch index lists from per-epoch permutations (the reference's
-        DistributedSampler shuffles per item)."""
+        DistributedSampler shuffles per item). Eval mode ends after one
+        epoch (StopIteration); train cycles forever."""
         epoch, pos = 0, 0
         order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
             if self.train else np.arange(len(self.ds))
@@ -254,13 +255,17 @@ class PrefetchLoader:
                     order = np.random.default_rng(
                         self.seed + epoch).permutation(len(self.ds))
                 else:
-                    stop.set()
                     return
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        # `stop` means the CONSUMER left — only then may a built batch be
+        # dropped. Stream exhaustion (eval's one epoch) is signalled by
+        # StopIteration + the live-thread count, so in-flight final batches
+        # still get flushed to the queue (dropping them on a shared event
+        # lost up to num_threads eval batches nondeterministically).
         stop = threading.Event()
-        stream = self._index_stream(stop)
+        stream = self._index_stream()
         lock = threading.Lock()
         live = [self.num_threads]
 
@@ -295,9 +300,12 @@ class PrefetchLoader:
             t.start()
         try:
             while True:
+                # read live BEFORE q.empty(): the decrement happens after a
+                # producer's last put, so live==0 then empty-queue really is
+                # the end of the epoch
                 with lock:
                     n_live = live[0]
-                if stop.is_set() and q.empty() and n_live == 0:
+                if n_live == 0 and q.empty():
                     break
                 try:
                     yield q.get(timeout=0.5)

@@ -156,6 +156,34 @@ def test_prefetch_loader_batches(bop_root):
     assert batch2.images.shape == (2, 128, 128, 3)
 
 
+def test_prefetch_loader_eval_yields_all_batches():
+    """One-epoch (train=False) prefetch must deliver EVERY batch: a producer
+    still building the final batch when the index stream runs out used to
+    drop it on the shared stop event (up to num_threads lost eval batches,
+    nondeterministically)."""
+    import time
+
+    class SlowDS:
+        def __len__(self):
+            return 7
+
+        def sample(self, idx, seed=0, focus_obj=None):
+            time.sleep(0.01)  # widen the exhaustion/put race window
+            return dict(image=np.full((4, 4, 3), idx, np.uint8),
+                        mask=np.zeros((4, 4), np.int32),
+                        class_ids=np.zeros((1,), np.int32),
+                        rotations=np.eye(3, dtype=np.float32)[None],
+                        translations=np.zeros((1, 3), np.float32),
+                        bbox_trans=np.eye(2, 3, dtype=np.float32),
+                        meta=dict(filename=f"{idx}"))
+
+    for trial in range(5):
+        loader = PrefetchLoader(SlowDS(), batch_size=2, train=False,
+                                num_threads=3, depth=2, seed=trial)
+        got = list(loader)
+        assert len(got) == 4, f"trial {trial}: lost eval batches: {len(got)}/4"
+
+
 @pytest.fixture(scope="module")
 def bop_root_multi(tmp_path_factory):
     """A scene with TWO instances for per-object eval-crop tests."""
