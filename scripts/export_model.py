@@ -1,0 +1,107 @@
+"""Export a trained checkpoint as a serving artifact (StableHLO, jax.export).
+
+Builds the same Config/consts the training drivers use, loads the
+checkpoint loosely (utils.checkpoint.load_params_loose), bakes everything
+into one portable inference endpoint via engine.serving.export_inference,
+and (with --check) round-trips the artifact through load_serving to verify
+the deserialized program reproduces the in-process model bit-for-bit.
+
+Examples:
+  python scripts/export_model.py --weight_file outputs/ab/teacher30k/final.ckpt \
+      --backbone darknet53 --batch_size 8 --out outputs/serving/teacher_bs8.hlo
+  python scripts/export_model.py --cpu --check ...   # during a TPU outage
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weight_file", type=str, required=True)
+    ap.add_argument("--backbone", type=str, default="darknet_tiny_h")
+    ap.add_argument("--input_res", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--mode", choices=["single", "multi"], default="single")
+    ap.add_argument("--data", choices=["synthetic", "bop"], default="synthetic",
+                    help="task-constant source (camera K, 3D keypoints)")
+    ap.add_argument("--config_file", type=str, default="",
+                    help="YAML config (required for --data bop)")
+    ap.add_argument("--platforms", type=str, default="cpu,tpu")
+    ap.add_argument("--out", type=str, default="outputs/serving/model.hlo")
+    ap.add_argument("--check", action="store_true",
+                    help="round-trip the artifact and compare outputs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu or os.environ.get("KD6D_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kd6d_pose_adlp_tpu.config import Config, ModelConfig, load_yaml_config
+    from kd6d_pose_adlp_tpu.data import loaders
+    from kd6d_pose_adlp_tpu.engine.serving import (build_infer_fn,
+                                                   centered_bbox_trans,
+                                                   export_inference,
+                                                   load_serving)
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
+
+    dtype = "float32" if (args.cpu or os.environ.get("KD6D_CPU")) \
+        else "bfloat16"
+    if args.config_file:
+        cfg = load_yaml_config(args.config_file)
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, backbone=args.backbone, input_res=args.input_res,
+            compute_dtype=dtype))
+    else:
+        cfg = Config(model=ModelConfig(backbone=args.backbone,
+                                       input_res=args.input_res,
+                                       compute_dtype=dtype))
+    bundle = loaders.build(cfg, args.data, eval_limit=1)
+    cfg = bundle.cfg or cfg
+    consts = bundle.consts
+
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    init = net.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, args.input_res, args.input_res, 3)))
+    variables, n = load_params_loose(args.weight_file, init)
+    print(f"loaded {n} tensors from {args.weight_file}", flush=True)
+
+    meta = export_inference(cfg, consts, variables, args.out,
+                            batch_size=args.batch_size, mode=args.mode,
+                            platforms=tuple(args.platforms.split(",")))
+    print(json.dumps(meta), flush=True)
+
+    if args.check:
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (args.batch_size, args.input_res,
+                                       args.input_res, 3), dtype=np.uint8)
+        bt = centered_bbox_trans(args.batch_size, args.input_res)
+        ids = np.zeros((args.batch_size,), np.int32)
+        direct = jax.jit(build_infer_fn(cfg, consts, variables,
+                                        mode=args.mode))
+        ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
+                                    jnp.asarray(ids),
+                                    jnp.asarray(7, jnp.uint32)))
+        serve, _ = load_serving(args.out)
+        got = jax.device_get(serve(images, bt, ids, seed=7))
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]), rtol=1e-5,
+                                       atol=1e-5, err_msg=k)
+        print("round-trip check OK: artifact reproduces the in-process "
+              "model", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Serving/export subsystem: the StableHLO artifact must reproduce the
+in-process model exactly, from bytes on disk, without the model code path
+(engine/serving.py; additive over the reference, whose only inference
+surface is test.py's eval loop)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kd6d_pose_adlp_tpu.config import Config, ModelConfig
+from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
+from kd6d_pose_adlp_tpu.engine.serving import (MULTI_KEYS, SINGLE_KEYS,
+                                               build_infer_fn,
+                                               centered_bbox_trans,
+                                               export_inference, load_serving)
+from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+
+RES = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model=ModelConfig(backbone="darknet_tiny_h", input_res=RES,
+                                   compute_dtype="float32"))
+    ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=RES,
+                              max_objs=cfg.solver.max_objs, single_class=0,
+                              seed=0)
+    import dataclasses
+    consts = ds.consts()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, mesh_diameters=tuple(np.asarray(consts.diameters))))
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)))
+    return cfg, consts, variables
+
+
+def _example(bs):
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (bs, RES, RES, 3), dtype=np.uint8)
+    return (images, centered_bbox_trans(bs, RES),
+            np.zeros((bs,), np.int32))
+
+
+def test_export_roundtrip_single(setup, tmp_path):
+    cfg, consts, variables = setup
+    path = str(tmp_path / "model.hlo")
+    meta = export_inference(cfg, consts, variables, path, batch_size=2,
+                            mode="single", platforms=("cpu",))
+    assert meta["bytes"] > 0 and meta["platforms"] == ["cpu"]
+    assert meta["output_keys"] == list(SINGLE_KEYS)
+
+    images, bt, ids = _example(2)
+    direct = jax.jit(build_infer_fn(cfg, consts, variables))
+    ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
+                                jnp.asarray(ids), jnp.asarray(3, jnp.uint32)))
+    serve, meta2 = load_serving(path)
+    got = jax.device_get(serve(images, bt, ids, seed=3))
+    assert meta2["input_res"] == RES
+    for k in SINGLE_KEYS:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    # a different seed must change the RANSAC draw, not crash
+    _ = serve(images, bt, ids, seed=11)
+
+
+def test_serving_respects_invalid_class(setup, tmp_path):
+    cfg, consts, variables = setup
+    path = str(tmp_path / "model.hlo")
+    export_inference(cfg, consts, variables, path, batch_size=2,
+                     platforms=("cpu",))
+    serve, _ = load_serving(path)
+    images, bt, ids = _example(2)
+    ids = np.array([0, -1], np.int32)  # image 1 marked invalid
+    out = jax.device_get(serve(images, bt, ids, seed=0))
+    assert not bool(out["valid"][1])
+
+
+@pytest.mark.slow
+def test_export_multi_mode(setup, tmp_path):
+    cfg, consts, variables = setup
+    path = str(tmp_path / "multi.hlo")
+    meta = export_inference(cfg, consts, variables, path, batch_size=1,
+                            mode="multi", platforms=("cpu",))
+    assert meta["output_keys"] == list(MULTI_KEYS)
+    serve, _ = load_serving(path)
+    images, bt, ids = _example(1)
+    out = jax.device_get(serve(images, bt, ids, seed=0))
+    # per-class outputs: (B, n_fg, ...)
+    assert out["R"].shape == (1, cfg.data.n_fg, 3, 3)
+    assert out["valid"].shape == (1, cfg.data.n_fg)
+
+
+def test_platform_fallback(setup, tmp_path):
+    """Unavailable platforms are dropped with a recorded reason instead of
+    failing the export (a CPU-only process exporting for cpu+tpu)."""
+    cfg, consts, variables = setup
+    path = str(tmp_path / "fb.hlo")
+    meta = export_inference(cfg, consts, variables, path, batch_size=1,
+                            platforms=("cpu", "tpu"))
+    # either both lowered (fine) or tpu was dropped with a reason
+    if meta["dropped_platforms"]:
+        assert meta["dropped_platforms"] == ["tpu"]
+        assert meta["drop_reason"]
+    assert "cpu" in meta["platforms"]
