@@ -95,6 +95,11 @@ def main():
         sys.argv = ["bench.py"]
         bench.main()
 
+    def p_serving():
+        import bench_serving
+        sys.argv = ["bench_serving.py"]
+        bench_serving.main()
+
     ok = {}
     ok["suite"] = phase("pretrain suite resume", p_suite)
     ok["perf"] = phase("perf suite", p_perf)
@@ -104,6 +109,7 @@ def main():
     ok["conv_ab"] = phase("conv pallas A/B", p_conv_ab)
     ok["components"] = phase("component probe (+trace)", p_components)
     ok["bench"] = phase("bench headline", p_bench)
+    ok["serving"] = phase("serving-artifact bench", p_serving)
     print(f"\nR3-CHAIN4-DONE {ok}", flush=True)
 
 
