@@ -86,6 +86,11 @@ class ModelConfig:
     # BN folded into conv weights (inference/frozen-teacher form; params
     # must come from utils/fold_bn.fold_batchnorm — never train with this)
     bn_folded: bool = False
+    # rematerialize the student forward during backward (jax.checkpoint):
+    # ~1/3 more forward FLOPs for near-zero stored activations — lifts the
+    # trainable batch size ceiling on a 16 GB v5e (identical gradients;
+    # tests/test_train_e2e.py pins equality)
+    remat: bool = False
 
     @property
     def feat_channels(self) -> Tuple[int, ...]:

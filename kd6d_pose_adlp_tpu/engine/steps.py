@@ -109,6 +109,15 @@ def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
 
     w_img, h_img = float(cfg.data.internal_width), float(cfg.data.internal_height)
 
+    def fwd_train(params, stats, images):
+        return net.apply({"params": params, "batch_stats": stats},
+                         images, train=True, mutable=["batch_stats"])
+    if getattr(cfg.model, "remat", False):
+        # full-forward rematerialization: store (almost) no activations,
+        # recompute the forward inside the backward pass — the standard
+        # HBM-for-FLOPs trade for batch sizes past the activation ceiling
+        fwd_train = jax.checkpoint(fwd_train)
+
     def step_fn(state: TrainState, teacher_vars, batch: Batch, rng: jax.Array):
         teacher = None
         if distill and cached_votes:
@@ -122,9 +131,8 @@ def build_train_step(cfg: Config, cfg_t: Optional[Config], consts: TaskConsts,
             teacher = (votes, w_img, h_img)
 
         def loss_fn(params):
-            (cls_logits, pred_reg), mutated = net.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch.images, train=True, mutable=["batch_stats"])
+            (cls_logits, pred_reg), mutated = fwd_train(
+                params, state.batch_stats, batch.images)
             out = pose_losses(rng, cls_logits, pred_reg, batch, consts, cfg,
                               teacher=teacher)
             total = (cfg.solver.loss_weight_cls * out.loss_cls

@@ -43,6 +43,9 @@ def build_parser():
                     help="train-class subset, e.g. '1-14' or '1,2,5'; empty "
                          "= LINEMOD-style single class 0")
     ap.add_argument("--use_pallas", type=int, default=1)
+    ap.add_argument("--remat", type=int, default=0,
+                    help="rematerialize the student forward in the backward "
+                         "(same gradients, ~no stored activations)")
     ap.add_argument("--wot_detach", type=int, default=0)
     # KD ablation axes (reference arguments/argument_kd.py:37-49)
     ap.add_argument("--gtype", type=str, default="sinkhorn")
@@ -96,7 +99,7 @@ def run(args):
     dtype = "bfloat16" if not args.cpu else "float32"
     cfg = Config(
         model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
-                          input_res=args.input_res),
+                          input_res=args.input_res, remat=bool(args.remat)),
         solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
                             val_freq=args.val_freq or args.steps,
                             base_lr=args.lr, seed=args.seed),

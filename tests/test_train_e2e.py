@@ -43,6 +43,33 @@ def _tiny_consts(ds):
     return consts._replace(kp3d=consts.kp3d[:N_FG], diameters=consts.diameters[:N_FG])
 
 
+def test_remat_step_matches_plain_step():
+    """model.remat=True must change memory behavior only: one train step
+    from an identical state produces identical params/metrics (jax.checkpoint
+    recomputes the same forward in the backward pass)."""
+    cfg = small_cfg()
+    cfg_r = cfg.replace(model=dataclasses.replace(cfg.model, remat=True))
+    ds = small_data()
+    consts = _tiny_consts(ds)
+    batch = ds.batch(range(4), train=True)
+    rng = jax.random.PRNGKey(3)
+    outs = []
+    for c in (cfg, cfg_r):
+        net = PoseNet(cfg=c.model, n_fg=N_FG)
+        opt = make_optimizer(c)
+        state = create_train_state(jax.random.PRNGKey(0), c, net, opt)
+        step_fn = jax.jit(build_train_step(c, None, consts, net, None, opt,
+                                           distill=False))
+        outs.append(jax.device_get(step_fn(state, None, batch, rng)))
+    (s_a, m_a), (s_b, m_b) = outs
+    for k in m_a:
+        np.testing.assert_allclose(m_a[k], m_b[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
+        s_a.params, s_b.params)
+
+
 @pytest.mark.slow
 def test_baseline_train_step_reduces_loss():
     cfg = small_cfg()

@@ -61,6 +61,10 @@ def get_argparser():
     p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the student forward in the backward "
+                        "pass (identical gradients, ~no stored activations; "
+                        "for batch sizes past the HBM ceiling)")
     p.add_argument("--n_devices", type=int, default=0, help="0 = all")
     p.add_argument("--vis_every", type=int, default=1000,
                    help="KD cloud scatter dump cadence (0 = off)")
@@ -93,7 +97,8 @@ def build_configs(args):
     cfg = load_yaml_config(args.config_file, backbone=args.backbone)
     cfg = cfg.replace(kd=kd, working_dir=args.working_dir)
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype,
+                                  remat=args.remat),
         solver=dataclasses.replace(cfg.solver, max_iter=args.max_iters,
                                    base_lr=args.base_lr))
     cfg_t = load_yaml_config(args.config_file_t or args.config_file,
