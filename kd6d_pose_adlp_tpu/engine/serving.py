@@ -90,15 +90,24 @@ def export_inference(cfg: Config, consts: TaskConsts, variables,
     Lowers for every requested platform in one artifact; if a platform's
     lowering is unavailable in this process (e.g. no TPU plugin), it is
     dropped with a note rather than failing the export. Returns metadata.
+
+    `batch_size=0` exports with a SYMBOLIC batch dimension: one artifact
+    accepts any batch size (the serving runtime still specializes/compiles
+    once per concrete size it sees — use a fixed size for the lowest
+    first-request latency on TPU).
     """
     from jax import export as jexport
 
     infer = build_infer_fn(cfg, consts, variables, mode=mode)
     res = cfg.model.input_res
+    if batch_size == 0:
+        (bdim,) = jexport.symbolic_shape("b", constraints=["b >= 1"])
+    else:
+        bdim = batch_size
     args = (
-        jax.ShapeDtypeStruct((batch_size, res, res, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((batch_size, 2, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        jax.ShapeDtypeStruct((bdim, res, res, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((bdim, 2, 3), jnp.float32),
+        jax.ShapeDtypeStruct((bdim,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.uint32),
     )
 
@@ -122,7 +131,7 @@ def export_inference(cfg: Config, consts: TaskConsts, variables,
         "dropped_platforms": [p for p in platforms if p not in plats],
         "drop_reason": err if len(plats) != len(platforms) else None,
         "mode": mode,
-        "batch_size": batch_size,
+        "batch_size": batch_size if batch_size else "symbolic",
         "input_res": res,
         "n_fg": cfg.data.n_fg,
         "backbone": cfg.model.backbone,

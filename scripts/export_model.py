@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--weight_file", type=str, required=True)
     ap.add_argument("--backbone", type=str, default="darknet_tiny_h")
     ap.add_argument("--input_res", type=int, default=256)
-    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help="0 = symbolic batch (one artifact, any batch size)")
     ap.add_argument("--mode", choices=["single", "multi"], default="single")
     ap.add_argument("--data", choices=["synthetic", "bop"], default="synthetic",
                     help="task-constant source (camera K, 3D keypoints)")
@@ -83,11 +84,12 @@ def main():
     print(json.dumps(meta), flush=True)
 
     if args.check:
+        check_bs = args.batch_size or 2  # symbolic artifact: check at bs 2
         rng = np.random.default_rng(0)
-        images = rng.integers(0, 256, (args.batch_size, args.input_res,
+        images = rng.integers(0, 256, (check_bs, args.input_res,
                                        args.input_res, 3), dtype=np.uint8)
-        bt = centered_bbox_trans(args.batch_size, args.input_res)
-        ids = np.zeros((args.batch_size,), np.int32)
+        bt = centered_bbox_trans(check_bs, args.input_res)
+        ids = np.zeros((check_bs,), np.int32)
         direct = jax.jit(build_infer_fn(cfg, consts, variables,
                                         mode=args.mode))
         ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),

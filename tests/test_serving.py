@@ -1,7 +1,12 @@
 """Serving/export subsystem: the StableHLO artifact must reproduce the
 in-process model exactly, from bytes on disk, without the model code path
 (engine/serving.py; additive over the reference, whose only inference
-surface is test.py's eval loop)."""
+surface is test.py's eval loop).
+
+One bs-2 artifact is exported once per module (exports cost a full
+endpoint lowering, ~2 min each on this 1-core box) and shared by the fast
+tests; the extra-lowering variants (multi-class, symbolic batch,
+platform fallback) are marked slow."""
 import numpy as np
 import pytest
 
@@ -35,6 +40,16 @@ def setup():
     return cfg, consts, variables
 
 
+@pytest.fixture(scope="module")
+def artifact(setup, tmp_path_factory):
+    """(path, meta) of one bs-2 single-mode cpu artifact, exported once."""
+    cfg, consts, variables = setup
+    path = str(tmp_path_factory.mktemp("serving") / "model.hlo")
+    meta = export_inference(cfg, consts, variables, path, batch_size=2,
+                            mode="single", platforms=("cpu",))
+    return path, meta
+
+
 def _example(bs):
     rng = np.random.default_rng(1)
     images = rng.integers(0, 256, (bs, RES, RES, 3), dtype=np.uint8)
@@ -42,11 +57,9 @@ def _example(bs):
             np.zeros((bs,), np.int32))
 
 
-def test_export_roundtrip_single(setup, tmp_path):
+def test_export_roundtrip_single(setup, artifact):
     cfg, consts, variables = setup
-    path = str(tmp_path / "model.hlo")
-    meta = export_inference(cfg, consts, variables, path, batch_size=2,
-                            mode="single", platforms=("cpu",))
+    path, meta = artifact
     assert meta["bytes"] > 0 and meta["platforms"] == ["cpu"]
     assert meta["output_keys"] == list(SINGLE_KEYS)
 
@@ -64,11 +77,8 @@ def test_export_roundtrip_single(setup, tmp_path):
     _ = serve(images, bt, ids, seed=11)
 
 
-def test_serving_respects_invalid_class(setup, tmp_path):
-    cfg, consts, variables = setup
-    path = str(tmp_path / "model.hlo")
-    export_inference(cfg, consts, variables, path, batch_size=2,
-                     platforms=("cpu",))
+def test_serving_respects_invalid_class(artifact):
+    path, _ = artifact
     serve, _ = load_serving(path)
     images, bt, ids = _example(2)
     ids = np.array([0, -1], np.int32)  # image 1 marked invalid
@@ -91,6 +101,29 @@ def test_export_multi_mode(setup, tmp_path):
     assert out["valid"].shape == (1, cfg.data.n_fg)
 
 
+@pytest.mark.slow
+def test_symbolic_batch_export(setup, tmp_path):
+    """batch_size=0 exports a symbolic batch dim: ONE artifact serves any
+    batch size, matching per-size direct computation."""
+    cfg, consts, variables = setup
+    path = str(tmp_path / "sym.hlo")
+    meta = export_inference(cfg, consts, variables, path, batch_size=0,
+                            platforms=("cpu",))
+    assert meta["batch_size"] == "symbolic"
+    serve, _ = load_serving(path)
+    direct = jax.jit(build_infer_fn(cfg, consts, variables))
+    for bs in (1, 3):
+        images, bt, ids = _example(bs)
+        ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
+                                    jnp.asarray(ids),
+                                    jnp.asarray(5, jnp.uint32)))
+        got = jax.device_get(serve(images, bt, ids, seed=5))
+        assert got["R"].shape == (bs, 3, 3)
+        np.testing.assert_allclose(np.asarray(got["R"]), np.asarray(ref["R"]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_platform_fallback(setup, tmp_path):
     """Unavailable platforms are dropped with a recorded reason instead of
     failing the export (a CPU-only process exporting for cpu+tpu)."""
