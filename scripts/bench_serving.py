@@ -8,6 +8,12 @@ Replay-immunity through the tunnel: every timed call uses a fresh seed, so
 the (executable, args) pair never repeats and nothing replays from the
 dispatch cache (see scripts/bench_components.timeit notes).
 
+Note: each timed call is ONE dispatch, so the absolute numbers include the
+per-dispatch link RTT (~30 ms through this box's remote tunnel) — an upper
+bound on real TPU-local serving latency, but identical for both paths, so
+`artifact_vs_in_process` is a clean overhead ratio and the bs-64 row is
+compute-dominated either way.
+
 Run: python scripts/bench_serving.py [--cpu_smoke]
 """
 from __future__ import annotations
