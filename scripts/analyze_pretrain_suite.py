@@ -48,6 +48,23 @@ def fmt_stats(deltas):
     return m, sd, sem
 
 
+def perm_p(deltas):
+    """Exact paired sign-flip permutation p-value (two-sided) for
+    mean(delta) != 0: with n seed pairs there are 2^n equally-likely sign
+    assignments under the no-effect null; p = fraction whose |mean| >=
+    the observed |mean|. Exact and assumption-free at these tiny n."""
+    n = len(deltas)
+    if n < 2:
+        return float("nan")
+    obs = abs(sum(deltas))
+    hits = 0
+    for bits in range(1 << n):
+        s = sum(d if bits >> i & 1 else -d for i, d in enumerate(deltas))
+        if abs(s) >= obs - 1e-12:
+            hits += 1
+    return hits / (1 << n)
+
+
 def main(path="results/pretrain_suite2.json"):
     d = json.load(open(path))
     for kind in ("final", "rescore384"):
@@ -76,6 +93,10 @@ def main(path="results/pretrain_suite2.json"):
                     mu, sd, sem = fmt_stats(agg[m])
                     summary += f"  {mu:+6.2f} (sd {sd:5.2f}, sem {sem:4.2f})"
                 print(summary)
+                pline = "  perm "
+                for m in metrics:
+                    pline += f"  p={perm_p(agg[m]):.3f}" + " " * 13
+                print(pline + " (exact sign-flip, two-sided)")
     # teacher context
     for name in ("teacher30k_pt",):
         f = d.get(name, {}).get("final")
