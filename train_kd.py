@@ -66,6 +66,17 @@ def get_argparser():
                         "pass (identical gradients, ~no stored activations; "
                         "for batch sizes past the HBM ceiling)")
     p.add_argument("--n_devices", type=int, default=0, help="0 = all")
+    p.add_argument("--device_pool", type=int, default=0,
+                   help="synthetic only: pre-render N batches, pin them on "
+                        "device, and scan --steps_per_dispatch steps per "
+                        "host dispatch (amortizes dispatch RTT ~2.4x on the "
+                        "remote-tunnel TPU; cycles like itertools.cycle)")
+    p.add_argument("--steps_per_dispatch", type=int, default=50)
+    p.add_argument("--cache_teacher", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="with --device_pool + distillation: precompute the "
+                        "frozen teacher's voted pool knowledge ONCE (~70%% "
+                        "of KD-step FLOPs; exact for a static pool)")
     p.add_argument("--vis_every", type=int, default=1000,
                    help="KD cloud scatter dump cadence (0 = off)")
     p.add_argument("--backbone_init", type=str, default="",
@@ -199,10 +210,29 @@ def main():
                         data.eval_batches(), data.meshes, step=step,
                         working_dir=args.working_dir, logger=eval_logger)
 
-    train(cfg, consts, data.train_iter(args.num_workers)
-          if args.data == "bop" else data.train_iter(),
+    pool, train_iter = None, None
+    if args.device_pool > 0:
+        # device-resident pool + multi-step scan (engine/loop.py pool path).
+        # Synthetic only: a static pool would freeze the BOP pipeline's
+        # per-epoch DZI re-crops/augmentations (reference getitem_dzi).
+        if args.data != "synthetic":
+            raise SystemExit("--device_pool requires --data synthetic")
+        import numpy as np
+        it = data.train_iter()
+        host = [next(it) for _ in range(args.device_pool)]
+        pool = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *host)
+        print(f"device pool: {args.device_pool} batches x "
+              f"{host[0].images.shape[0]} images", flush=True)
+    else:
+        train_iter = (data.train_iter(args.num_workers)
+                      if args.data == "bop" else data.train_iter())
+
+    train(cfg, consts, train_iter,
           cfg_t=cfg_t, teacher_variables=teacher_variables,
           eval_fn=eval_fn, working_dir=args.working_dir, mesh=mesh,
+          pool=pool, steps_per_dispatch=args.steps_per_dispatch,
+          cache_teacher=args.cache_teacher,
           backbone_init=args.backbone_init or None,
           vis_every=args.vis_every)
 
