@@ -91,6 +91,53 @@ def test_per_example_loss_independent_of_device_count():
                                   np.asarray(tgt_shard.pos_mask))
 
 
+@pytest.mark.slow
+def test_dp_sharded_inference_endpoint_matches_unsharded():
+    """The serving endpoint (engine/serving.build_infer_fn) under jit with a
+    batch sharded over an 8-device Mesh('data') computes the same poses as
+    unsharded — DP inference is just input sharding, no code changes."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from kd6d_pose_adlp_tpu.engine.serving import (build_infer_fn,
+                                                   centered_bbox_trans)
+
+    cfg = _cfg()
+    ds = SyntheticPoseDataset(n_fg=N_FG, input_res=RES, max_objs=2,
+                              single_class=1, seed=7)
+    consts = ds.consts()
+    consts = consts._replace(kp3d=consts.kp3d[:N_FG],
+                             diameters=consts.diameters[:N_FG])
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, n_class=N_FG + 1,
+                                 mesh_diameters=tuple(
+                                     np.asarray(consts.diameters))))
+    net = PoseNet(cfg=cfg.model, n_fg=N_FG)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)))
+    infer = jax.jit(build_infer_fn(cfg, consts, variables))
+
+    B = 8
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (B, RES, RES, 3), dtype=np.uint8)
+    bt = centered_bbox_trans(B, RES)
+    ids = np.ones((B,), np.int32)
+    seed = jnp.asarray(4, jnp.uint32)
+
+    ref = jax.device_get(infer(jnp.asarray(images), jnp.asarray(bt),
+                               jnp.asarray(ids), seed))
+
+    mesh = make_mesh(8)
+    shard = lambda x, spec: jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, PartitionSpec(*spec)))
+    got = jax.device_get(infer(shard(images, ("data",)),
+                               shard(bt, ("data",)),
+                               shard(ids, ("data",)), seed))
+    for k in ("R", "T", "score", "valid"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_gather_eval_pytree_single_process_identity():
     tree = {"a": jnp.arange(6).reshape(3, 2), "b": (jnp.ones(4),)}
     out = gather_eval_pytree(tree)
