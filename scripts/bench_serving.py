@@ -78,8 +78,12 @@ def main():
     net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
     init = net.init(jax.random.PRNGKey(0),
                     jnp.zeros((1, args.input_res, args.input_res, 3)))
-    variables, n = load_params_loose(args.weight_file, init)
-    print(f"loaded {n} tensors", flush=True)
+    if os.path.exists(args.weight_file):
+        variables, n = load_params_loose(args.weight_file, init)
+        print(f"loaded {n} tensors", flush=True)
+    else:  # throughput doesn't depend on the weights' values
+        variables = init
+        print(f"{args.weight_file} absent; timing with init weights", flush=True)
 
     results = {"platform": jax.devices()[0].platform,
                "input_res": args.input_res, "backbone": args.backbone}
