@@ -38,6 +38,37 @@ def test_umeyama_recovers_rigid_transform():
     np.testing.assert_allclose(np.asarray(t2), t, atol=1e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_epnp_near_planar_with_lhm_polish(seed):
+    """Near-planar point sets (z-extent 0.1% of xy) drive the control-point
+    basis toward singular; the relative eigenvalue floor in _control_points
+    (ops/epnp.py) keeps the barycentric solve conditioned, and the
+    production contract (EPnP seed + LHM refinement, as in
+    engine/postprocess) must still recover the pose tightly."""
+    from kd6d_pose_adlp_tpu.ops.smallalg import inv3
+
+    rng = np.random.default_rng(seed)
+    R = geo.quaternion2rotation(rng.normal(size=4)).astype(np.float32)
+    T = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
+                  rng.uniform(700, 1000)], np.float32)
+    pts3d = rng.uniform(-60, 60, size=(20, 3)).astype(np.float32)
+    pts3d[:, 2] = rng.normal(scale=0.06, size=20).astype(np.float32)  # ~planar
+    pts2d = geo.project_points(K, R, T, pts3d).astype(np.float32)
+    w = jnp.ones(20, jnp.float32)
+
+    Rh, Th = ep.epnp(jnp.asarray(pts3d), jnp.asarray(pts2d), jnp.asarray(K), w)
+    rot0, t0 = _pose_err(R, T, np.asarray(Rh), np.asarray(Th))
+    assert np.isfinite(rot0) and rot0 < 15.0, rot0  # seed quality only
+
+    pix = jnp.concatenate([jnp.asarray(pts2d),
+                           jnp.ones((20, 1), jnp.float32)], -1)
+    rays = pix @ inv3(jnp.asarray(K)).T
+    Rr, Tr = ep.lhm_refine(jnp.asarray(pts3d), rays, w, Rh, Th, iters=10)
+    rot1, t1 = _pose_err(R, T, np.asarray(Rr), np.asarray(Tr))
+    assert rot1 < 0.5, (rot0, rot1)
+    assert t1 < 5.0, (t0, t1)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_epnp_exact_correspondences(seed):
     rng = np.random.default_rng(seed)
