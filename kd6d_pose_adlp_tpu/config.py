@@ -59,6 +59,11 @@ class DataConfig:
     pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     size_divisible: int = 32
+    # single-warp host pipeline: compose the internal-frame and DZI affines
+    # into ONE raw->crop warp and run pixel augs on the 256² crop instead of
+    # the 640x480 frame (~3x less pixel work per sample). Opt-in because the
+    # augmentation domain changes (see data/pipeline.py `sample`, fast path).
+    fast_pipeline: bool = False
 
     @property
     def n_fg(self) -> int:

@@ -33,6 +33,7 @@ class BOPPoseDataset:
         self.sym = cfg.data.symmetry_dict()
         self.internal_K = cfg.data.internal_K_np()
         self.backgrounds = T.BackgroundBank(cfg.solver.aug_background_dir)
+        self.fast = bool(getattr(cfg.data, "fast_pipeline", False))
 
     def __len__(self):
         return len(self.images)
@@ -61,6 +62,51 @@ class BOPPoseDataset:
                 items.append((i, j))
         return items
 
+    def _pixel_augs(self, img: np.ndarray, mask: np.ndarray, rng):
+        """Train-time pixel augmentations (reference libs/transform.py chain).
+        Slow path applies them to the 640x480 internal frame like the
+        reference; the fast path applies them to the 256² crop (same family,
+        ~5x less pixel work — spatial augs like blur/occlusion then measure
+        their sizes in crop pixels, a documented deviation)."""
+        s = self.cfg.solver
+        img = self.backgrounds(img, mask, rng)
+        if s.aug_color_h or s.aug_color_s or s.aug_color_v:
+            img = T.distort_hsv(img, rng, s.aug_color_h, s.aug_color_s, s.aug_color_v)
+        if s.aug_sharpen > 0:
+            img = T.pencil_sharpen(img, rng, s.aug_sharpen)
+        if s.aug_noise > 0:
+            img = T.distort_noise(img, rng, s.aug_noise)
+        if s.aug_smooth > 0:
+            img = T.distort_smooth(img, rng, s.aug_smooth)
+        if s.aug_occlusion > 0:
+            img, mask = T.random_occlusion(img, mask, rng, s.aug_occlusion)
+        if s.aug_grayscalize:
+            img = T.grayscalize(img)
+        return img, mask
+
+    @staticmethod
+    def _inside_internal(Mc: np.ndarray, res: int, W: int, H: int
+                         ) -> Optional[np.ndarray]:
+        """Boolean (res,res) of crop pixels whose internal-frame coordinates
+        lie inside the 640x480 frame, or None when ALL do (the common case —
+        checked via the 4 crop corners, affine maps preserve convexity). The
+        reference's two-warp chain zeroes everything outside the frame (the
+        second warp's border); the fast single-warp path reproduces that."""
+        A = np.asarray(Mc[:, :2], np.float64)
+        t = np.asarray(Mc[:, 2], np.float64)
+        Ainv = np.linalg.inv(A)
+        corners = np.array([[0.0, 0.0], [res - 1, 0], [0, res - 1],
+                            [res - 1, res - 1]])
+        ic = (corners - t) @ Ainv.T
+        if (ic[:, 0] >= 0).all() and (ic[:, 0] <= W - 1).all() \
+                and (ic[:, 1] >= 0).all() and (ic[:, 1] <= H - 1).all():
+            return None
+        xs = np.arange(res, dtype=np.float64)
+        # separable broadcast: internal coords = Ainv @ ([x,y] - t)
+        ix = (Ainv[0, 0] * (xs - t[0]))[None, :] + (Ainv[0, 1] * (xs - t[1]))[:, None]
+        iy = (Ainv[1, 0] * (xs - t[0]))[None, :] + (Ainv[1, 1] * (xs - t[1]))[:, None]
+        return (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+
     def sample(self, index: int, seed: int = 0,
                focus_obj: Optional[int] = None) -> Optional[Dict]:
         cfg = self.cfg
@@ -75,6 +121,7 @@ class BOPPoseDataset:
             return None
         if len(class_ids) == 0:
             return None
+        n_orig = len(class_ids)  # raw instance ids in `mask` are 1..n_orig
         h, w = img.shape[:2]
         W, H = cfg.data.internal_width, cfg.data.internal_height
         # eval meta must carry the RAW-frame annotation (reference keeps the
@@ -91,41 +138,48 @@ class BOPPoseDataset:
         if self.train:
             M = T.random_ssr_matrix(rng, s.aug_shift, s.aug_scale,
                                     s.aug_rotation, W, H) @ M
-        img = T.warp_image(img, M, (W, H), border=(128, 128, 128))
-        mask = T.warp_mask(mask, M, (W, H))
+        raw_img, raw_mask = img, mask
+        if self.fast:
+            # fast path: never materialize the 640x480 frame. A half-res
+            # nearest warp of the instance mask supplies the per-object
+            # areas the tiny-mask filter needs (4x cheaper); image and mask
+            # reach the 256² crop through ONE composed raw->crop warp below.
+            Sh = np.diag([0.5, 0.5, 1.0]).astype(np.float64)
+            mask_half = T.warp_mask(mask, Sh @ M, (W // 2, H // 2))
+        else:
+            img = T.warp_image(img, M, (W, H), border=(128, 128, 128))
+            mask = T.warp_mask(mask, M, (W, H))
         kp3d_objs = [self.kp3d[c] for c in class_ids]
         Rs, Ts = T.remap_poses(K, Rs, Ts, kp3d_objs, self.internal_K, M)
 
-        # pixel-level augmentations (train only)
-        if self.train:
-            img = self.backgrounds(img, mask, rng)
-            if s.aug_color_h or s.aug_color_s or s.aug_color_v:
-                img = T.distort_hsv(img, rng, s.aug_color_h, s.aug_color_s, s.aug_color_v)
-            if s.aug_sharpen > 0:
-                img = T.pencil_sharpen(img, rng, s.aug_sharpen)
-            if s.aug_noise > 0:
-                img = T.distort_noise(img, rng, s.aug_noise)
-            if s.aug_smooth > 0:
-                img = T.distort_smooth(img, rng, s.aug_smooth)
-            if s.aug_occlusion > 0:
-                img, mask = T.random_occlusion(img, mask, rng, s.aug_occlusion)
-            if s.aug_grayscalize:
-                img = T.grayscalize(img)
+        # pixel-level augmentations (train only; the fast path augments the
+        # crop instead, after the DZI warp)
+        if self.train and not self.fast:
+            img, mask = self._pixel_augs(img, mask, rng)
 
         # drop objects with tiny masks (reference remove_invalids, min_area=10)
-        keep, new_mask = [], np.zeros_like(mask)
-        new_mask[mask == -1] = -1
-        nxt = 1
-        for i in range(len(class_ids)):
-            m = mask == (i + 1)
-            if m.sum() < 10:
-                continue
-            keep.append(i)
-            new_mask[m] = nxt
-            nxt += 1
+        if self.fast:
+            # half-res areas scale by 4; 10 px at full res = 2.5 half-px.
+            # Deviations vs the frame-mask count: border clipping is exact
+            # (the half warp clips identically), but occlusion-aug shrinkage
+            # no longer feeds the filter (augs happen post-crop here)
+            keep = [i for i in range(len(class_ids))
+                    if 4 * int((mask_half == (i + 1)).sum()) >= 10]
+        else:
+            keep, new_mask = [], np.zeros_like(mask)
+            new_mask[mask == -1] = -1
+            nxt = 1
+            for i in range(len(class_ids)):
+                m = mask == (i + 1)
+                if m.sum() < 10:
+                    continue
+                keep.append(i)
+                new_mask[m] = nxt
+                nxt += 1
+            mask = new_mask if keep else mask
         if not keep:
             return None
-        mask = new_mask
+        raw_indices = list(keep)  # original instance index per filtered slot
         class_ids = [class_ids[i] for i in keep]
         Rs = [Rs[i] for i in keep]
         Ts = [Ts[i] for i in keep]
@@ -145,12 +199,14 @@ class BOPPoseDataset:
             class_ids = [class_ids[k] for k in order]
             Rs = [Rs[k] for k in order]
             Ts = [Ts[k] for k in order]
-            lut = np.zeros(len(order) + 2, np.int32)  # [0]=bg, [-1] stays -1
-            for new, old in enumerate(order):
-                lut[old + 1] = new + 1
-            neg = mask < 0
-            mask = lut[np.clip(mask, 0, len(order))]
-            mask[neg] = -1
+            raw_indices = [raw_indices[k] for k in order]
+            if not self.fast:
+                lut = np.zeros(len(order) + 2, np.int32)  # [0]=bg, [-1] = -1
+                for new, old in enumerate(order):
+                    lut[old + 1] = new + 1
+                neg = mask < 0
+                mask = lut[np.clip(mask, 0, len(order))]
+                mask[neg] = -1
             raw = dict(K=raw["K"],
                        class_ids=[raw["class_ids"][focus_obj]],
                        rotations=[raw["rotations"][focus_obj]],
@@ -174,8 +230,33 @@ class BOPPoseDataset:
         scale = min(scale, max(H, W)) * 1.0
         res = cfg.model.input_res
         Mc = geo.dzi_affine(center, scale, res)
-        crop = T.warp_image(img, Mc, (res, res))
-        mask_c = T.warp_mask(mask, Mc, (res, res))
+        if self.fast:
+            # ONE composed raw->crop warp (vs warp-to-frame + warp-to-crop):
+            # border semantics match the two-step chain — outside the raw
+            # image = gray(128) where the internal frame would show it,
+            # outside the internal frame = 0 (blackout mask below)
+            Mfull = (np.vstack([Mc, [0.0, 0.0, 1.0]]).astype(np.float64)
+                     @ np.asarray(M, np.float64))
+            crop = T.warp_image(raw_img, Mfull, (res, res),
+                                border=(128, 128, 128))
+            mc = T.warp_mask(raw_mask, Mfull, (res, res))
+            # renumber raw instance ids -> final slots (keep filter + focus
+            # reorder), exactly what the slow path's frame-mask LUTs produce
+            raw_lut = np.zeros(n_orig + 1, np.int32)  # dropped instances -> 0
+            for slot, orig_i in enumerate(raw_indices):
+                raw_lut[orig_i + 1] = slot + 1
+            neg = mc < 0
+            mask_c = raw_lut[np.clip(mc, 0, n_orig)]
+            mask_c[neg] = -1
+            inside = self._inside_internal(Mc, res, W, H)
+            if inside is not None:
+                crop[~inside] = 0
+                mask_c[~inside] = 0
+            if self.train:
+                crop, mask_c = self._pixel_augs(crop, mask_c, rng)
+        else:
+            crop = T.warp_image(img, Mc, (res, res))
+            mask_c = T.warp_mask(mask, Mc, (res, res))
 
         G = s.max_objs
         cls_arr = np.full((G,), -1, np.int32)

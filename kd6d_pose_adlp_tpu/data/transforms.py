@@ -202,7 +202,8 @@ def warp_image(img: np.ndarray, M: np.ndarray, out_wh, border=(0, 0, 0)) -> np.n
 
 def warp_mask(mask: np.ndarray, M: np.ndarray, out_wh, border: int = 0) -> np.ndarray:
     from . import native
-    out = native.warp_affine_i32(mask.astype(np.int32), np.asarray(M, np.float64),
+    out = native.warp_affine_i32(np.ascontiguousarray(mask, np.int32),
+                                 np.asarray(M, np.float64),
                                  (out_wh[1], out_wh[0]), border=border)
     if out is not None:
         return out

@@ -22,8 +22,11 @@ import json
 import time
 
 
-def measure(cfg, n_batches: int, num_threads: int) -> float:
+def measure(cfg, n_batches: int, num_threads: int, fast: bool = False) -> float:
+    import dataclasses
     from kd6d_pose_adlp_tpu.data.pipeline import BOPPoseDataset, PrefetchLoader
+    if fast:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, fast_pipeline=True))
     ds = BOPPoseDataset(cfg, cfg.data.train_list, train=True)
     loader = PrefetchLoader(ds, cfg.solver.ims_per_batch, train=True,
                             num_threads=num_threads, seed=0)
@@ -67,7 +70,8 @@ def main():
     # decode-cache cold vs warm measured separately: the LRU
     # (bop._DECODE_CACHE) makes steady-state throughput decode-free, so
     # order would otherwise contaminate the configs
-    for label, env in (("native", None), ("cv2", "1")):
+    for label, env, fast in (("native", None, False), ("cv2", "1", False),
+                             ("fast_native", None, True), ("fast_cv2", "1", True)):
         if env is None and not results["native_lib_available"]:
             continue
         if env is None:
@@ -76,8 +80,8 @@ def main():
             os.environ["KD6D_NO_NATIVE"] = env
         for nt in args.threads:
             clear_decode_cache()
-            cold = measure(cfg, args.n_batches, nt)
-            warm = measure(cfg, args.n_batches, nt)
+            cold = measure(cfg, args.n_batches, nt, fast=fast)
+            warm = measure(cfg, args.n_batches, nt, fast=fast)
             results[f"{label}_t{nt}_cold_img_s"] = round(cold, 1)
             results[f"{label}_t{nt}_warm_img_s"] = round(warm, 1)
             print(json.dumps({f"{label}_t{nt}": {"cold": round(cold, 1),

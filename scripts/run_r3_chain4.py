@@ -82,6 +82,21 @@ def main():
                     "--working_dir", "outputs/bop_rehearsal_eval/"]
         test_cli.main()
 
+    def p_bop_fast():
+        # --fast_pipeline host-throughput A/B on the same BOP tree: 500 TPU
+        # steps each arm, sustained img/s decides whether the single-warp
+        # path becomes the recommended real-data default (session-5 CPU
+        # measurement: 5.4x per-sample; results/host_pipeline.json)
+        import train_kd
+        for arm, flags in (("slow", []), ("fast", ["--fast_pipeline"])):
+            sys.argv = ["train_kd.py",
+                        "--config_file", "outputs/bop_synth/config.yaml",
+                        "--data", "bop", "--max_iters", "500",
+                        "--kd_weight", "0", "--num_workers", "2",
+                        "--vis_every", "0",
+                        "--working_dir", f"outputs/bop_fast_ab/{arm}/"] + flags
+            train_kd.main()
+
     def p_conv_ab():
         sys.argv = ["bench_conv_pallas.py"]
         bench_conv_pallas.main()
@@ -106,6 +121,7 @@ def main():
     ok["cache_ab"] = phase("teacher-knowledge cache A/B", p_cache_ab)
     ok["bop_train"] = phase("bop rehearsal train", p_bop_train)
     ok["bop_eval"] = phase("bop rehearsal eval", p_bop_eval)
+    ok["bop_fast"] = phase("bop fast-pipeline A/B", p_bop_fast)
     ok["conv_ab"] = phase("conv pallas A/B", p_conv_ab)
     ok["components"] = phase("component probe (+trace)", p_components)
     ok["bench"] = phase("bench headline", p_bench)

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (also via KD6D_CPU=1); see "
                         "train_kd.py --cpu")
+    p.add_argument("--fast_pipeline", action="store_true",
+                   help="single-warp host data path (see train_kd.py)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +56,8 @@ def main():
                                                    valid_list=args.test_file))
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
-        test=dataclasses.replace(cfg.test, ims_per_batch=args.ims_per_batch))
+        test=dataclasses.replace(cfg.test, ims_per_batch=args.ims_per_batch),
+        data=dataclasses.replace(cfg.data, fast_pipeline=args.fast_pipeline))
 
     data = loaders.build(cfg, kind=args.data)
     if data.cfg is not None:

@@ -61,6 +61,10 @@ def get_argparser():
     p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fast_pipeline", action="store_true",
+                   help="single-warp host data path: compose the internal "
+                        "and DZI affines into one raw->crop warp, augment "
+                        "the 256 crop (~3x less host pixel work/sample)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the student forward in the backward "
                         "pass (identical gradients, ~no stored activations; "
@@ -111,7 +115,8 @@ def build_configs(args):
         model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype,
                                   remat=args.remat),
         solver=dataclasses.replace(cfg.solver, max_iter=args.max_iters,
-                                   base_lr=args.base_lr))
+                                   base_lr=args.base_lr),
+        data=dataclasses.replace(cfg.data, fast_pipeline=args.fast_pipeline))
     cfg_t = load_yaml_config(args.config_file_t or args.config_file,
                              backbone=args.backbone_t)
     cfg_t = cfg_t.replace(kd=kd, model=dataclasses.replace(
