@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--out", type=str, default="outputs/serving/model.hlo")
     ap.add_argument("--check", action="store_true",
                     help="round-trip the artifact and compare outputs")
+    ap.add_argument("--fold_bn", action="store_true",
+                    help="fold BatchNorm into conv weights before export "
+                         "(utils.fold_bn): strictly fewer ops per inference "
+                         "and no BN stats in the artifact")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -77,6 +81,27 @@ def main():
                     jnp.zeros((1, args.input_res, args.input_res, 3)))
     variables, n = load_params_loose(args.weight_file, init)
     print(f"loaded {n} tensors from {args.weight_file}", flush=True)
+
+    if args.fold_bn:
+        from kd6d_pose_adlp_tpu.utils.fold_bn import fold_batchnorm
+        folded = fold_batchnorm(variables)
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, bn_folded=True))
+        net_f = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+        # sanity: the folded network reproduces the frozen-BN logits
+        x = jnp.asarray(np.random.default_rng(1).integers(
+            0, 256, (1, args.input_res, args.input_res, 3), dtype=np.uint8))
+        ref_cls = jax.jit(lambda v, x: net.apply(v, x, train=False))(
+            variables, x)
+        got_cls = jax.jit(lambda v, x: net_f.apply(v, x, train=False))(
+            folded, x)
+        tol = 1e-3 if cfg.model.compute_dtype == "float32" else 1e-1
+        err = float(jnp.max(jnp.abs(jnp.concatenate(
+            [a.reshape(-1) - b.reshape(-1)
+             for a, b in zip(jax.tree_util.tree_leaves(ref_cls),
+                             jax.tree_util.tree_leaves(got_cls))]))))
+        print(f"fold_bn: max logit delta {err:.2e} (tol {tol})", flush=True)
+        assert err < tol, "BN folding changed the network beyond tolerance"
+        variables = folded
 
     meta = export_inference(cfg, consts, variables, args.out,
                             batch_size=args.batch_size, mode=args.mode,
