@@ -30,6 +30,19 @@ def build(cfg: Config, kind: str = "bop", eval_limit: Optional[int] = None) -> D
     return _build_bop(cfg, eval_limit)
 
 
+def _process_shard(shard) -> Optional[tuple]:
+    """(rank, count) for multi-host data sharding — the reference's
+    DistributedSampler split (libs/distributed.py:109-151). `shard` wins when
+    given explicitly (tests); otherwise taken from jax.distributed process
+    info; None (no slicing) in the common single-process case."""
+    if shard is not None:
+        return shard
+    import jax
+    if jax.process_count() > 1:
+        return (jax.process_index(), jax.process_count())
+    return None
+
+
 def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
     from .synthetic import SyntheticPoseDataset
     # mixed-class scenes: every class appears, like a multi-class BOP split
@@ -44,17 +57,26 @@ def _build_synthetic(cfg: Config, eval_n: int) -> DataBundle:
         cfg, data=dataclasses.replace(
             cfg.data, mesh_diameters=tuple(np.asarray(consts.diameters))))
 
-    def train_iter():
+    def train_iter(shard=None):
+        sh = _process_shard(shard)
+        rank, count = sh if sh is not None else (0, 1)
         for step in itertools.count():
-            yield ds.batch(range(1000 + step * bs, 1000 + (step + 1) * bs), train=True)
+            # disjoint per-process index windows (multi-host DP): global
+            # stream position = step * count + rank
+            g = step * count + rank
+            yield ds.batch(range(1000 + g * bs, 1000 + (g + 1) * bs), train=True)
 
-    def eval_batches():
+    def eval_batches(shard=None):
         from .pipeline import collate
         tb = cfg.test.ims_per_batch
-        for start in range(0, eval_n, tb):
-            idx = list(range(start, min(start + tb, eval_n)))
-            if len(idx) < tb:  # static shapes: pad by wrapping
-                idx += list(range(tb - len(idx)))
+        all_idx = list(range(eval_n))
+        sh = _process_shard(shard)
+        if sh is not None:
+            all_idx = all_idx[sh[0]::sh[1]]  # disjoint per-process shard
+        for start in range(0, len(all_idx), tb):
+            idx = all_idx[start:start + tb]
+            while len(idx) < tb:  # static shapes: pad by wrapping
+                idx += all_idx[:tb - len(idx)]
             samples = [ds.sample(i, train=False) for i in idx]
             batch = collate(samples)
             metas = [dict(filename=f"synthetic_{i:06d}.png",
@@ -78,17 +100,22 @@ def _build_bop(cfg: Config, eval_limit: Optional[int]) -> DataBundle:
     consts = train_ds.consts()
     meshes = train_ds.meshes
 
-    def train_iter(num_threads: int = 2):
+    def train_iter(num_threads: int = 2, shard=None):
         loader = PrefetchLoader(train_ds, cfg.solver.ims_per_batch, train=True,
-                                num_threads=num_threads, seed=cfg.solver.seed)
+                                num_threads=num_threads, seed=cfg.solver.seed,
+                                shard=_process_shard(shard))
         for batch, _ in loader:
             yield batch
 
-    def eval_batches():
+    def eval_batches(shard=None):
         # one eval sample per (image, object) — reference dzi_test_mobj
         items = valid_ds.eval_items()
         if eval_limit is not None:
             items = items[:eval_limit]
+        sh = _process_shard(shard)
+        if sh is not None:
+            items = items[sh[0]::sh[1]]  # disjoint per-process eval shard;
+            # evaluator.valid all-gathers the prediction dicts before scoring
         tb = cfg.test.ims_per_batch
         for start in range(0, len(items), tb):
             chunk = items[start:start + tb]

@@ -295,16 +295,27 @@ def collate(samples: List[Dict]) -> Batch:
 class PrefetchLoader:
     """Threaded batch prefetcher (cv2 releases the GIL during decode/warp).
     Failed samples are redrawn randomly like the reference
-    (libs/dataset.py:64-70)."""
+    (libs/dataset.py:64-70).
+
+    `shard=(rank, count)` gives this loader rank's disjoint 1/count slice of
+    every epoch's index order — the reference's DistributedSampler
+    (libs/distributed.py:109-151) for multi-host training/eval. All ranks
+    draw the SAME epoch permutation (seeded by epoch) and take strided
+    slices, so the union over ranks is exactly one epoch."""
 
     def __init__(self, dataset, batch_size: int, train: bool = True,
-                 num_threads: int = 2, depth: int = 4, seed: int = 0):
+                 num_threads: int = 2, depth: int = 4, seed: int = 0,
+                 shard: Optional[tuple] = None):
         self.ds = dataset
         self.bs = batch_size
         self.train = train
         self.seed = seed
         self.num_threads = max(num_threads, 1)
         self.depth = depth
+        self.shard = shard
+        if shard is not None:
+            rank, count = shard
+            assert 0 <= rank < count, shard
 
     def _make_batch(self, epoch: int, indices):
         """Build one batch from the given dataset indices; failed samples are
@@ -323,9 +334,16 @@ class PrefetchLoader:
         """Batch index lists from per-epoch permutations (the reference's
         DistributedSampler shuffles per item). Eval mode ends after one
         epoch (StopIteration); train cycles forever."""
+        def epoch_order(epoch: int) -> np.ndarray:
+            order = np.random.default_rng(self.seed + epoch).permutation(
+                len(self.ds)) if self.train else np.arange(len(self.ds))
+            if self.shard is not None:
+                rank, count = self.shard
+                order = order[rank::count]
+            return order
+
         epoch, pos = 0, 0
-        order = np.random.default_rng(self.seed).permutation(len(self.ds)) \
-            if self.train else np.arange(len(self.ds))
+        order = epoch_order(0)
         while True:
             yield epoch, [order[(pos + k) % len(order)] for k in range(self.bs)]
             pos += self.bs
@@ -333,8 +351,7 @@ class PrefetchLoader:
                 epoch += 1
                 pos = 0
                 if self.train:
-                    order = np.random.default_rng(
-                        self.seed + epoch).permutation(len(self.ds))
+                    order = epoch_order(epoch)
                 else:
                     return
 
