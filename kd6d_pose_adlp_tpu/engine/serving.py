@@ -28,6 +28,7 @@ import numpy as np
 from ..config import Config
 from ..data.batch import Batch, TaskConsts
 from ..models.pose_net import PoseNet
+from ..ops import warp as dwarp
 from .postprocess import build_postprocess, build_postprocess_multi
 
 # serving outputs, in a fixed order so consumers can rely on it
@@ -82,9 +83,48 @@ def build_infer_fn(cfg: Config, consts: TaskConsts, variables,
     return infer
 
 
+def build_frame_infer_fn(cfg: Config, consts: TaskConsts, variables,
+                         frame_hw: Tuple[int, int], mode: str = "single"):
+    """Raw-frame inference endpoint: the host image pipeline moved on device.
+
+    Where `build_infer_fn` expects a pre-cropped 256² image (forcing the
+    caller to run the cv2/C++ crop chain), this endpoint takes RAW camera
+    frames plus a detection window and performs the keep-ratio internal-frame
+    fit + DZI crop inside the compiled program (`ops/warp.py`) — zero host
+    image ops at serving time, and the whole raw-pixels->poses path ships in
+    one StableHLO artifact. Reference equivalent: libs/dataset.py getitem_dzi
+    two-warp chain (host, cv2); here it is ONE composed in-graph warp.
+
+    Args of the returned function:
+      frames    (B, frame_h, frame_w, 3) uint8 BGR raw camera frames
+      centers   (B, 2) f32 — DZI window center in INTERNAL-frame coords
+      scales    (B,)  f32 — DZI window side in internal coords
+      class_ids (B,) int32; seed () uint32 — as in `build_infer_fn`.
+    """
+    h, w = frame_hw
+    W, H = cfg.data.internal_width, cfg.data.internal_height
+    res = cfg.model.input_res
+    # static raw->internal fit of this frame size (host: transforms.py:27)
+    from ..data.transforms import internal_frame_matrix
+    M_int = np.asarray(internal_frame_matrix(w, h, W, H)[:2], np.float32)
+    base = build_infer_fn(cfg, consts, variables, mode=mode)
+
+    def infer(frames, centers, scales, class_ids, seed):
+        crops, bbox_trans = dwarp.frame_to_crop(
+            frames, jnp.asarray(M_int), centers.astype(jnp.float32),
+            scales.astype(jnp.float32), res, internal_wh=(W, H))
+        out = base(crops, bbox_trans, class_ids, seed)
+        # kp2d (and the bbox_trans consumers) are in internal-frame coords,
+        # same as the crop endpoint fed by the host pipeline
+        return out
+
+    return infer
+
+
 def export_inference(cfg: Config, consts: TaskConsts, variables,
                      path: str, batch_size: int = 1, mode: str = "single",
-                     platforms: Sequence[str] = ("cpu", "tpu")) -> dict:
+                     platforms: Sequence[str] = ("cpu", "tpu"),
+                     frame_hw: Optional[Tuple[int, int]] = None) -> dict:
     """Serialize the inference endpoint to `path` (+ `path`.json metadata).
 
     Lowers for every requested platform in one artifact; if a platform's
@@ -98,18 +138,33 @@ def export_inference(cfg: Config, consts: TaskConsts, variables,
     """
     from jax import export as jexport
 
-    infer = build_infer_fn(cfg, consts, variables, mode=mode)
+    if mode == "frame":
+        if frame_hw is None:
+            raise ValueError("mode='frame' requires frame_hw=(height, width)")
+        infer = build_frame_infer_fn(cfg, consts, variables, frame_hw)
+    else:
+        infer = build_infer_fn(cfg, consts, variables, mode=mode)
     res = cfg.model.input_res
     if batch_size == 0:
         (bdim,) = jexport.symbolic_shape("b", constraints=["b >= 1"])
     else:
         bdim = batch_size
-    args = (
-        jax.ShapeDtypeStruct((bdim, res, res, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((bdim, 2, 3), jnp.float32),
-        jax.ShapeDtypeStruct((bdim,), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.uint32),
-    )
+    if mode == "frame":
+        fh, fw = frame_hw
+        args = (
+            jax.ShapeDtypeStruct((bdim, fh, fw, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((bdim, 2), jnp.float32),
+            jax.ShapeDtypeStruct((bdim,), jnp.float32),
+            jax.ShapeDtypeStruct((bdim,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.uint32),
+        )
+    else:
+        args = (
+            jax.ShapeDtypeStruct((bdim, res, res, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((bdim, 2, 3), jnp.float32),
+            jax.ShapeDtypeStruct((bdim,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.uint32),
+        )
 
     plats, exported, err = list(platforms), None, None
     while plats:
@@ -131,6 +186,7 @@ def export_inference(cfg: Config, consts: TaskConsts, variables,
         "dropped_platforms": [p for p in platforms if p not in plats],
         "drop_reason": err if len(plats) != len(platforms) else None,
         "mode": mode,
+        "frame_hw": list(frame_hw) if frame_hw else None,
         "batch_size": batch_size if batch_size else "symbolic",
         "input_res": res,
         "n_fg": cfg.data.n_fg,
@@ -138,7 +194,7 @@ def export_inference(cfg: Config, consts: TaskConsts, variables,
         "bytes": len(blob),
         "calling_convention": getattr(exported, "calling_convention_version",
                                       None),
-        "output_keys": list(SINGLE_KEYS if mode == "single" else MULTI_KEYS),
+        "output_keys": list(MULTI_KEYS if mode == "multi" else SINGLE_KEYS),
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=1)
@@ -160,10 +216,19 @@ def load_serving(path: str, meta: Optional[dict] = None):
             meta = json.load(f)
     call = jax.jit(exported.call)
 
-    def serve(images, bbox_trans, class_ids, seed=0):
-        return call(jnp.asarray(images), jnp.asarray(bbox_trans, jnp.float32),
-                    jnp.asarray(class_ids, jnp.int32),
-                    jnp.asarray(seed, jnp.uint32))
+    if (meta or {}).get("mode") == "frame":
+        def serve(frames, centers, scales, class_ids, seed=0):
+            return call(jnp.asarray(frames),
+                        jnp.asarray(centers, jnp.float32),
+                        jnp.asarray(scales, jnp.float32),
+                        jnp.asarray(class_ids, jnp.int32),
+                        jnp.asarray(seed, jnp.uint32))
+    else:
+        def serve(images, bbox_trans, class_ids, seed=0):
+            return call(jnp.asarray(images),
+                        jnp.asarray(bbox_trans, jnp.float32),
+                        jnp.asarray(class_ids, jnp.int32),
+                        jnp.asarray(seed, jnp.uint32))
 
     return serve, (meta or {})
 

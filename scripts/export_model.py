@@ -30,7 +30,14 @@ def main():
     ap.add_argument("--input_res", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=1,
                     help="0 = symbolic batch (one artifact, any batch size)")
-    ap.add_argument("--mode", choices=["single", "multi"], default="single")
+    ap.add_argument("--mode", choices=["single", "multi", "frame"],
+                    default="single",
+                    help="'frame' bakes the raw-frame->crop warp into the "
+                         "artifact (zero host image ops at serving time); "
+                         "requires --frame_hw")
+    ap.add_argument("--frame_hw", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="raw camera frame size for --mode frame")
     ap.add_argument("--data", choices=["synthetic", "bop"], default="synthetic",
                     help="task-constant source (camera K, 3D keypoints)")
     ap.add_argument("--config_file", type=str, default="",
@@ -105,23 +112,42 @@ def main():
 
     meta = export_inference(cfg, consts, variables, args.out,
                             batch_size=args.batch_size, mode=args.mode,
-                            platforms=tuple(args.platforms.split(",")))
+                            platforms=tuple(args.platforms.split(",")),
+                            frame_hw=tuple(args.frame_hw)
+                            if args.frame_hw else None)
     print(json.dumps(meta), flush=True)
 
     if args.check:
         check_bs = args.batch_size or 2  # symbolic artifact: check at bs 2
         rng = np.random.default_rng(0)
-        images = rng.integers(0, 256, (check_bs, args.input_res,
-                                       args.input_res, 3), dtype=np.uint8)
-        bt = centered_bbox_trans(check_bs, args.input_res)
         ids = np.zeros((check_bs,), np.int32)
-        direct = jax.jit(build_infer_fn(cfg, consts, variables,
-                                        mode=args.mode))
-        ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
-                                    jnp.asarray(ids),
-                                    jnp.asarray(7, jnp.uint32)))
         serve, _ = load_serving(args.out)
-        got = jax.device_get(serve(images, bt, ids, seed=7))
+        if args.mode == "frame":
+            from kd6d_pose_adlp_tpu.engine.serving import build_frame_infer_fn
+            fh, fw = args.frame_hw
+            frames = rng.integers(0, 256, (check_bs, fh, fw, 3),
+                                  dtype=np.uint8)
+            centers = np.tile(np.asarray(
+                [[cfg.data.internal_width / 2,
+                  cfg.data.internal_height / 2]], np.float32), (check_bs, 1))
+            scales = np.full((check_bs,), args.input_res, np.float32)
+            direct = jax.jit(build_frame_infer_fn(cfg, consts, variables,
+                                                  (fh, fw)))
+            ref = jax.device_get(direct(
+                jnp.asarray(frames), jnp.asarray(centers),
+                jnp.asarray(scales), jnp.asarray(ids),
+                jnp.asarray(7, jnp.uint32)))
+            got = jax.device_get(serve(frames, centers, scales, ids, seed=7))
+        else:
+            images = rng.integers(0, 256, (check_bs, args.input_res,
+                                           args.input_res, 3), dtype=np.uint8)
+            bt = centered_bbox_trans(check_bs, args.input_res)
+            direct = jax.jit(build_infer_fn(cfg, consts, variables,
+                                            mode=args.mode))
+            ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
+                                        jnp.asarray(ids),
+                                        jnp.asarray(7, jnp.uint32)))
+            got = jax.device_get(serve(images, bt, ids, seed=7))
         for k in ref:
             np.testing.assert_allclose(np.asarray(got[k]),
                                        np.asarray(ref[k]), rtol=1e-5,
