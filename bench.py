@@ -16,26 +16,43 @@ count (XLA cost analysis) over V100 fp32 peak 15.7 TFLOP/s at an optimistic
 50% MFU (dense ConvNet). Target from BASELINE.md is 5x that estimate;
 vs_baseline = ours / (5 * v100_estimate).
 
-Fail-soft policy (VERDICT round 1): a benchmark must degrade, never die.
-If the TPU claim is unavailable the run falls back to CPU and says so in
-the JSON; if the Pallas kernel cannot lower/execute, the KD loss's probe
-routes to the pure-JAX Sinkhorn automatically.
+Fail-soft policy (VERDICT rounds 1+3): a benchmark must degrade, never die.
+Three layers, in order of the failures actually observed on this machine:
+  1. relay outage — the axon tunnel port is closed; jax device init would
+     BLOCK forever, so a TCP pre-probe waits a bounded window then forces CPU.
+  2. claim unavailable — init succeeds but the FIRST device op raises
+     FAILED_PRECONDITION while another process holds the one-at-a-time TPU
+     claim (BENCH_r03 failure mode). A tiny probe op retries with backoff
+     across the 15-30 min claim-release window, then degrades to CPU.
+  3. mid-run device failure — any exception during the TPU measurement
+     degrades to a fresh CPU re-run instead of a red exit.
+On any CPU fallback the JSON carries a `note` and the most recent on-chip
+capture, and `record_chip_capture` refuses to let an implausible TPU capture
+overwrite the self-maintained perf record (VERDICT r3 weak #2).
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 V100_FP32_PEAK = 15.7e12
 V100_MFU = 0.5
 TARGET_MULTIPLE = 5.0
 
+# record_chip_capture plausibility floors: the slowest sane on-chip KD-step
+# capture ever observed is ~420 img/s host-driven (STATUS round 3); anything
+# under these is a degraded measurement (claim/relay contention, host-resident
+# params re-shipped through the tunnel), not real chip performance.
+MIN_TPU_IPS = 100.0
+MIN_FRACTION_OF_RECORD = 0.2
+
 
 def _tunnel_up(port: int = 8082, timeout_s: float = 3.0) -> bool:
     """TCP-probe the axon relay's first loopback port. When the relay is
     DOWN, jax device init does not raise — it BLOCKS forever (observed
     2026-08-17 outage, CLAUDE.md), so fail-soft needs this pre-check."""
-    import os
     import socket
     if not os.path.exists(os.path.expanduser("~/.tpu_init.py")):
         return True  # no axon relay in this image: nothing to probe
@@ -47,12 +64,8 @@ def _tunnel_up(port: int = 8082, timeout_s: float = 3.0) -> bool:
 
 
 def _init_platform():
-    """Initialize a backend; fall back to CPU if the TPU claim is unavailable
+    """Initialize a backend; fall back to CPU if the relay is down
     (single-process chip with minutes-long claim release, see CLAUDE.md)."""
-    import os
-    import sys
-    import time
-
     import jax
     if os.environ.get("KD6D_CPU", "") == "1":
         jax.config.update("jax_platforms", "cpu")
@@ -75,11 +88,111 @@ def _init_platform():
         dev = jax.devices()[0]
         return jax, dev.platform
     except Exception as e:  # noqa: BLE001 — axon claim/registration failures
-        import sys
         print(f"[bench] device init failed ({type(e).__name__}: {e}); "
               f"falling back to CPU", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         return jax, jax.devices()[0].platform
+
+
+def _probe_first_device_op(jax) -> bool:
+    """Run one tiny device op before committing to the TPU measurement.
+
+    jax.devices() succeeding does NOT mean the chip is usable: when another
+    process holds the single-process TPU claim the first device_put raises
+    FAILED_PRECONDITION (exactly how BENCH_r03.json went red). The claim
+    releases 15-30 min after the holder exits (CLAUDE.md), so retry with a
+    bounded backoff before giving up."""
+    import numpy as np
+    deadline = time.time() + float(
+        os.environ.get("KD6D_BENCH_CLAIM_WAIT", "1200"))
+    attempt = 0
+    while True:
+        try:
+            x = jax.device_put(np.ones((8,), np.float32))
+            jax.block_until_ready(x * 2.0)
+            return True
+        except Exception as e:  # noqa: BLE001 — backend errors are not typed
+            attempt += 1
+            if time.time() >= deadline:
+                print(f"[bench] device probe still failing after "
+                      f"{attempt} attempts ({type(e).__name__}: {e})",
+                      file=sys.stderr, flush=True)
+                return False
+            print(f"[bench] device probe failed ({type(e).__name__}); "
+                  f"retrying while the TPU claim releases",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+
+
+def _to_cpu_inprocess(jax) -> bool:
+    """Best-effort in-process platform switch for imported callers."""
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()[0].platform == "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _reexec_cpu(note: str) -> None:
+    """Replace this process with a fresh CPU-forced bench run. A fresh
+    interpreter is the only fully reliable way off an initialized-but-broken
+    axon backend; only taken when bench.py runs as __main__."""
+    env = dict(os.environ, KD6D_CPU="1", KD6D_BENCH_NOTE=note)
+    print(f"[bench] {note}; re-executing on CPU", file=sys.stderr, flush=True)
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env)
+
+
+def record_chip_capture(result: dict, last_chip_path: str,
+                        captured_at: str | None = None):
+    """Persist an on-chip capture — unless it is implausible.
+
+    VERDICT r3 weak #2: a 3.68 img/s capture (host-resident folded teacher
+    params re-shipped through the tunnel every step) silently overwrote the
+    1,005 img/s record. Guard: a new TPU capture below the absolute floor
+    (MIN_TPU_IPS on either the host-driven or pure-device rate) or below
+    MIN_FRACTION_OF_RECORD of the stored record is written to a separate
+    bench_anomaly_<ts>.json with a note instead of replacing the record.
+
+    Returns (path_written, payload). The payload carries `anomaly_note`
+    when quarantined.
+    """
+    captured_at = captured_at or time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime())
+    payload = dict(result, captured_at=captured_at)
+    try:
+        with open(last_chip_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+
+    reasons = []
+    val = float(result.get("value") or 0.0)
+    dev = result.get("device_step_images_per_sec")
+    if val < MIN_TPU_IPS:
+        reasons.append(f"host-driven rate {val} img/s is below the "
+                       f"{MIN_TPU_IPS:.0f} img/s TPU plausibility floor")
+    if dev is not None and float(dev) < MIN_TPU_IPS:
+        reasons.append(f"pure-device rate {dev} img/s is below the "
+                       f"{MIN_TPU_IPS:.0f} img/s TPU plausibility floor")
+    prev_val = float(prev.get("value") or 0.0) if prev else 0.0
+    if prev_val > 0.0 and val < MIN_FRACTION_OF_RECORD * prev_val:
+        reasons.append(f"{val} img/s is under {MIN_FRACTION_OF_RECORD:.0%} "
+                       f"of the stored record {prev_val} img/s")
+
+    os.makedirs(os.path.dirname(last_chip_path), exist_ok=True)
+    if reasons:
+        payload["anomaly_note"] = (
+            "implausible capture NOT promoted to the last-chip record: "
+            + "; ".join(reasons))
+        ts = captured_at.replace(":", "").replace("-", "")
+        path = os.path.join(os.path.dirname(last_chip_path),
+                            f"bench_anomaly_{ts}.json")
+    else:
+        path = last_chip_path
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return path, payload
 
 
 def _pallas_value_check(jax):
@@ -106,8 +219,7 @@ def _pallas_value_check(jax):
     return diff
 
 
-def main():
-    jax, platform = _init_platform()
+def _measure(jax, platform: str) -> dict:
     from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
     setup_compilation_cache()
     import jax.numpy as jnp
@@ -122,7 +234,6 @@ def main():
     from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
     from kd6d_pose_adlp_tpu.ops.sinkhorn_pallas import pallas_tpu_ok
 
-    import os
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     input_res = int(os.environ.get("BENCH_RES", "256"))
     cfg = Config(model=ModelConfig(backbone="darknet_tiny_h",
@@ -157,6 +268,12 @@ def main():
         cfg_t = cfg_t.replace(model=dataclasses.replace(
             cfg_t.model, bn_folded=True))
         teacher_net = PoseNet(cfg=cfg_t.model, n_fg=n_fg)
+    # fold_batchnorm returns HOST numpy arrays. Forgetting this device_put
+    # made every benched step re-ship the 41.6M-param teacher (~166 MB)
+    # through the remote tunnel: the deterministic 3.68 img/s anomaly of
+    # 2026-08-19 (results/bench_anomaly_*.json). The production loops
+    # already do this (engine/loop.py:144).
+    t_vars = jax.device_put(t_vars)
     opt = make_optimizer(cfg)
     state = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
 
@@ -267,7 +384,7 @@ def main():
     else:
         vs_baseline = float("nan")
 
-    result = {
+    return {
         "metric": "kd_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -282,17 +399,57 @@ def main():
         "step_tflops": round(flops_per_step / 1e12, 3)
         if np.isfinite(flops_per_step) else None,
     }
+
+
+def main(allow_reexec: bool = False):
+    jax, platform = _init_platform()
+
+    def degrade(note: str) -> bool:
+        """Move this run onto CPU after a TPU-side failure; True on success."""
+        print(f"[bench] {note}", file=sys.stderr, flush=True)
+        if _to_cpu_inprocess(jax):
+            os.environ["KD6D_BENCH_NOTE"] = note
+            return True
+        if allow_reexec:
+            _reexec_cpu(note)  # never returns
+        return False
+
+    if platform != "cpu" and not _probe_first_device_op(jax):
+        if not degrade("TPU claim unavailable at bench time (first device op "
+                       "kept failing for the whole wait window)"):
+            raise RuntimeError("TPU claim unavailable and CPU fallback "
+                               "could not be initialized in-process")
+        platform = "cpu"
+
+    try:
+        result = _measure(jax, platform)
+    except Exception as e:  # noqa: BLE001 — mid-run device failures
+        if platform == "cpu":
+            raise
+        import traceback
+        traceback.print_exc()
+        if not degrade(f"TPU measurement failed mid-run "
+                       f"({type(e).__name__}: {e})"):
+            raise
+        result = _measure(jax, "cpu")
+        result["platform"] = "cpu"
+
+    note = os.environ.get("KD6D_BENCH_NOTE")
+    if note:
+        result["note"] = ("degraded to CPU fallback: " + note +
+                          " — value is the single-core CPU rate, see "
+                          "last_chip_capture for real hardware numbers")
+
     last_chip = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "results", "bench_last_chip.json")
-    if not on_cpu:
+    if result["platform"] != "cpu":
         # self-maintained record of the most recent on-chip measurement, so
         # a CPU-fallback run during a relay outage can still point at the
-        # round's real hardware numbers
+        # round's real hardware numbers; implausible captures are quarantined
         try:
-            os.makedirs(os.path.dirname(last_chip), exist_ok=True)
-            with open(last_chip, "w") as f:
-                json.dump(dict(result, captured_at=time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())), f)
+            path, payload = record_chip_capture(result, last_chip)
+            if "anomaly_note" in payload:
+                result["anomaly_note"] = payload["anomaly_note"]
         except OSError:
             pass
     else:
@@ -301,13 +458,15 @@ def main():
         try:
             with open(last_chip) as f:
                 result["last_chip_capture"] = json.load(f)
-            result["note"] = ("axon relay down at bench time; value is the "
-                              "CPU-fallback rate — see last_chip_capture for "
-                              "the most recent on-chip measurement")
+            result.setdefault(
+                "note",
+                "TPU unavailable at bench time; value is the CPU-fallback "
+                "rate — see last_chip_capture for the most recent on-chip "
+                "measurement")
         except (OSError, ValueError):
             pass
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    main(allow_reexec=True)

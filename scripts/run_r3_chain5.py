@@ -19,7 +19,9 @@ order so an outage mid-chain still leaves the quick wins captured:
   7. Component probe with profiler trace; serving-artifact bench.
 
 Phases are isolated: a failure logs and the next phase still runs.
-Run: nohup python scripts/run_r3_chain5.py > results/r3_chain5.log 2>&1 &
+Run: nohup python scripts/run_r3_chain5.py >> results/r3_chain5.log 2>&1 &
+(append — watch_tunnel.sh relaunches with >>; truncating would erase the
+DONE marker the supervisor greps for)
 """
 from __future__ import annotations
 

@@ -35,7 +35,7 @@ while true; do
         echo "$(date -u +%FT%TZ) tunnel port open; settling 60s"
         sleep 60
         if tunnel_up && ! chain_alive; then
-            if grep -q "R3-CHAIN4-DONE" "$LOG" 2>/dev/null; then
+            if grep -q "R3-CHAIN5-DONE" "$LOG" 2>/dev/null; then
                 echo "$(date -u +%FT%TZ) chain5 already completed; idle"
             else
                 echo "$(date -u +%FT%TZ) launching chain5"
