@@ -12,13 +12,17 @@ padded spatial in lanes — and computes the conv as ONE im2col matmul:
     patches = concat_{dy,dx} x[:, dy*Wp+dx : dy*Wp+dx + H*Wp]   # (9C, M)
     out     = Wmat(O, 9C) @ patches                              # (O, M)
 
-The nine shifted slices are STATIC lane offsets of the same VMEM-resident
-slab (a lane rotate each, no gathers), and the contraction dim becomes
-9*C_in (27/72/144 for C_in 3/8/16) instead of C_in — a ~9x denser MXU feed
-for exactly the stages where XLA starves. The BN affine (inference form:
-scale/shift; or a training-mode batch-stat application done outside) and
-LeakyReLU fuse into the matmul epilogue, so the activation never round-trips
-to HBM between conv and nonlinearity.
+The nine taps are STATIC lane rotates of the same VMEM-resident slab
+(pltpu.roll — no gathers), each contracted against its own (O, C) weight
+slice and ACCUMULATED in f32. Round 3 tried a single (9C, M) matmul built
+by jnp.concatenate of the nine shifted slices; Mosaic refuses to lower
+that concat ("result/input offset mismatch on non-concat dimension",
+results/r3_chain5.log 03:27:55) because the operands carry different lane
+offsets. The accumulated-dot form has identical FLOPs, needs no (9C, M)
+patches buffer in VMEM, and every dot operand starts at lane 0. The BN
+affine (inference form: scale/shift; or a training-mode batch-stat
+application done outside) and LeakyReLU fuse into the matmul epilogue, so
+the activation never round-trips to HBM between conv and nonlinearity.
 
 Layout contract (the "flat-spatial" form):
   - spatial is flattened WITH the width padding kept: a map of logical
@@ -67,19 +71,23 @@ def _make_kernel(C: int, O: int, H: int, Wp: int, alpha: float):
     M = H * Wp
 
     def kernel(x_ref, w_ref, sc_ref, bi_ref, out_ref):
+        from jax.experimental.pallas import tpu as pltpu
         x = x_ref[0]                                          # (C, L)
-        # nine static lane-shifted views of the padded slab, stacked along
-        # sublanes: contraction dim = 9C
-        slabs = []
-        for dy in range(3):
-            for dx in range(3):
-                off = dy * Wp + dx
-                slabs.append(x[:, off:off + M])               # (C, M)
-        patches = jnp.concatenate(slabs, axis=0)              # (9C, M)
-        acc = jax.lax.dot_general(
-            w_ref[...], patches,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (O, M) f32
+        L = x.shape[1]
+        # nine accumulated (O, C) @ (C, M) taps; each operand is a lane
+        # rotate of the slab truncated at lane 0 (x[:, off:off+M] ==
+        # roll(x, L-off)[:, :M] since off+M <= L; pltpu.roll wants the
+        # shift non-negative), which Mosaic lowers cleanly where the
+        # round-3 shifted-slice concat did not
+        acc = sc_ref[...] * 0.0  # (O, 1) f32, broadcasts into the sum
+        for tap in range(9):
+            dy, dx = divmod(tap, 3)
+            off = dy * Wp + dx
+            shifted = pltpu.roll(x, L - off, 1)[:, :M] if off else x[:, :M]
+            acc = acc + jax.lax.dot_general(
+                w_ref[tap], shifted,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (O, M) f32
         acc = acc * sc_ref[...] + bi_ref[...]                 # BN affine
         out_ref[0] = jnp.where(acc >= 0, acc, alpha * acc).astype(
             out_ref.dtype)
@@ -93,8 +101,8 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
     """Fused 3x3 conv (stride 1, SAME) + affine + LeakyReLU, flat layout.
 
     x_flat (B, C, (H+2)*(W+2)+2) — zero-padded slab from nhwc_to_flat
-    wmat   (O, 9*C)            — weights, (dy, dx, c) fastest-c order:
-                                 wmat[o, (dy*3+dx)*C + c] = k[dy, dx, c, o]
+    wmat   (9, O, C)           — per-tap weights from pack_weights:
+                                 wmat[dy*3+dx, o, c] = k[dy, dx, c, o]
     scale  (O, 1), bias (O, 1) — folded BN affine (f32)
     -> (B, O, H*(W+2)) output slab, valid height only (re-pad for chaining);
        the 2 pad columns per row contain wrap-around garbage.
@@ -104,15 +112,15 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
     B, C, L = x_flat.shape
     Wp = W + 2
     assert L == (H + 2) * Wp + 2, (L, H, Wp)
-    O = wmat.shape[0]
-    assert wmat.shape == (O, 9 * C), wmat.shape
+    O = wmat.shape[1]
+    assert wmat.shape == (9, O, C), wmat.shape
     kern = _make_kernel(C, O, H, Wp, alpha)
     return pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, C, L), lambda b: (b, 0, 0)),
-            pl.BlockSpec((O, 9 * C), lambda b: (0, 0)),
+            pl.BlockSpec((9, O, C), lambda b: (0, 0, 0)),
             pl.BlockSpec((O, 1), lambda b: (0, 0)),
             pl.BlockSpec((O, 1), lambda b: (0, 0)),
         ],
@@ -123,10 +131,10 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
 
 
 def pack_weights(k):
-    """(3, 3, C, O) conv kernel -> (O, 9C) matmul weights for the kernel."""
+    """(3, 3, C, O) conv kernel -> (9, O, C) per-tap matmul weights."""
     kh, kw, C, O = k.shape
     assert (kh, kw) == (3, 3)
-    return k.transpose(3, 0, 1, 2).reshape(O, 9 * C)
+    return k.reshape(9, C, O).transpose(0, 2, 1)
 
 
 def conv3x3_bn_act_ref(x, k, scale, bias, alpha: float = 0.1):

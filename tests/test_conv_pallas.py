@@ -50,11 +50,11 @@ def test_layout_roundtrip():
 
 
 def test_pack_weights_order():
-    # wmat[o, (dy*3+dx)*C + c] == k[dy, dx, c, o]
+    # wmat[dy*3+dx, o, c] == k[dy, dx, c, o]
     k = jnp.arange(3 * 3 * 2 * 4, dtype=jnp.float32).reshape(3, 3, 2, 4)
     w = pack_weights(k)
-    assert w.shape == (4, 18)
-    assert w[1, (2 * 3 + 0) * 2 + 1] == k[2, 0, 1, 1]
+    assert w.shape == (9, 4, 2)
+    assert w[2 * 3 + 0, 1, 1] == k[2, 0, 1, 1]
 
 
 def test_bf16_path():
