@@ -50,7 +50,7 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
           eval_batches: Iterable, meshes: Sequence[np.ndarray],
           step: int = 0, working_dir: Optional[str] = None,
           logger: Optional[ScalarLogger] = None, rng: Optional[jax.Array] = None,
-          verbose: bool = True) -> Dict:
+          verbose: bool = True, overlap: bool = True) -> Dict:
     """eval_batches yields (Batch, metas) where metas is a list of per-image
     dicts with keys: filename, K, width, height, class_ids, rotations,
     translations. Returns the metric structures of
@@ -61,10 +61,8 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
     K_int = np.asarray(consts.K)
 
     preds: Dict[str, Dict] = {}
-    for batch, metas in eval_batches:
-        cls_logits, pred_reg = forward_fn(variables, batch.images)
-        rng, sub = jax.random.split(rng)
-        out = jax.device_get(postprocess_fn(cls_logits, pred_reg, batch, sub))
+
+    def consume(out, metas):
         for i, meta in enumerate(metas):
             entry_preds: List = []
             if bool(out["valid"][i]):
@@ -97,6 +95,29 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
                 },
                 "pred": entry_preds,
             }
+
+    # Double-buffered device/host overlap (round-3 finding: the serial
+    # forward -> device_get -> per-image-Python loop capped eval at ~1.5k
+    # img/s while inference alone runs 25k). Dispatch batch i+1's
+    # forward+postprocess (async under jax's dispatch model) BEFORE
+    # blocking on batch i's device_get, so the chip computes i+1 while the
+    # host runs Python on i. Reference hot loop: libs/eval_libs.py:59-95.
+    # overlap=False restores the serial order (the A/B control for
+    # scripts/bench_eval_overlap.py; results are identical either way —
+    # only the dispatch timing changes).
+    pending = None
+    for batch, metas in eval_batches:
+        cls_logits, pred_reg = forward_fn(variables, batch.images)
+        rng, sub = jax.random.split(rng)
+        dev_out = postprocess_fn(cls_logits, pred_reg, batch, sub)
+        if pending is not None:
+            consume(jax.device_get(pending[0]), pending[1])
+        if overlap:
+            pending = (dev_out, metas)
+        else:
+            consume(jax.device_get(dev_out), metas)
+    if pending is not None:
+        consume(jax.device_get(pending[0]), pending[1])
 
     # multi-host eval: each process evaluates its own shard of eval_batches;
     # merge the prediction dicts across processes before scoring (replaces
@@ -167,10 +188,9 @@ def detection_stats(cfg: Config, consts: TaskConsts, variables, forward_fn,
     n_gt = n_rec = n_img = 0
     n_fp = 0
     n_adi = 0
-    for batch, metas in eval_batches:
-        cls_logits, pred_reg = forward_fn(variables, batch.images)
-        rng, sub = jax.random.split(rng)
-        out = jax.device_get(predict(cls_logits, pred_reg, batch, sub))
+
+    def consume(out, batch):
+        nonlocal n_gt, n_rec, n_img, n_fp, n_adi
         ids = np.asarray(batch.class_ids)
         Rg = np.asarray(batch.rotations)
         Tg = np.asarray(batch.translations)
@@ -195,6 +215,20 @@ def detection_stats(cfg: Config, consts: TaskConsts, variables, forward_fn,
                             kp3d[c].astype(np.float64))
                 if e < 0.1 * diam[c]:
                     n_adi += 1
+
+    # double-buffered like valid(): batch i+1 computes while the host
+    # scores batch i
+    pending = None
+    for batch, metas in eval_batches:
+        cls_logits, pred_reg = forward_fn(variables, batch.images)
+        rng, sub = jax.random.split(rng)
+        dev_out = predict(cls_logits, pred_reg, batch, sub)
+        if pending is not None:
+            consume(jax.device_get(pending[0]), pending[1])
+        pending = (dev_out, batch)
+    if pending is not None:
+        consume(jax.device_get(pending[0]), pending[1])
+
     stats = {
         "gt_objects": n_gt,
         "recovery_rate": round(100.0 * n_rec / max(n_gt, 1), 2),

@@ -1,0 +1,104 @@
+"""Eval-loop overlap A/B: serial vs double-buffered evaluator.valid.
+
+VERDICT r3 weak #7: the host eval loop (forward -> device_get -> per-image
+Python; reference libs/eval_libs.py:59-95) was serial per batch and capped
+eval at ~1.5k img/s while pure inference runs ~25k. evaluator.valid now
+dispatches batch i+1's forward+postprocess before blocking on batch i's
+device_get (overlap=True). This measures whole-valid() images/sec both
+ways on the same data/params and writes results/eval_overlap_ab.json.
+
+Run (in the r4 chain or standalone):  python scripts/bench_eval_overlap.py
+CPU smoke:                            python scripts/bench_eval_overlap.py \
+                                          --cpu --eval_n 8 --batch 2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval_n", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--weight_file", type=str,
+                    default="outputs/pretrain2/pt_s192_base_s0/final.ckpt",
+                    help="checkpoint so predictions are real and the host "
+                         "does full per-image work; random init if absent")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default="results/eval_overlap_ab.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu or os.environ.get("KD6D_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from kd6d_pose_adlp_tpu.config import (Config, ModelConfig, SolverConfig,
+                                           TestConfig)
+    from kd6d_pose_adlp_tpu.data import loaders
+    from kd6d_pose_adlp_tpu.engine import evaluator
+    from kd6d_pose_adlp_tpu.engine.postprocess import build_postprocess
+    from kd6d_pose_adlp_tpu.engine.steps import build_forward
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+    from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
+    setup_compilation_cache()
+
+    cfg = Config(model=ModelConfig(backbone="darknet_tiny_h"),
+                 solver=SolverConfig(max_objs=2),
+                 test=TestConfig(ims_per_batch=args.batch))
+    data = loaders.build(cfg, "synthetic", eval_limit=args.eval_n)
+    cfg = data.cfg or cfg
+    net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros(
+        (1, cfg.model.input_res, cfg.model.input_res, 3)))
+    loaded = 0
+    if args.weight_file and os.path.exists(args.weight_file):
+        from kd6d_pose_adlp_tpu.utils.checkpoint import load_params_loose
+        variables, loaded = load_params_loose(args.weight_file, variables)
+    variables = jax.device_put(variables)
+    print(f"params: {'random init' if not loaded else f'{loaded} tensors from {args.weight_file}'}",
+          flush=True)
+
+    forward = build_forward(cfg, net)
+    postprocess = build_postprocess(cfg, data.consts)
+
+    # materialize the host batches ONCE so the data pipeline's cost is
+    # identical (and negligible) in both arms
+    batches = list(data.eval_batches())
+    n_imgs = sum(len(m) for _, m in batches)
+
+    def run(overlap: bool) -> float:
+        t0 = time.time()
+        evaluator.valid(cfg, data.consts, variables, forward, postprocess,
+                        iter(batches), data.meshes, verbose=False,
+                        overlap=overlap)
+        return time.time() - t0
+
+    run(True)   # compile warm-up (both arms share the same programs)
+    res = {"platform": jax.devices()[0].platform, "eval_n": n_imgs,
+           "batch": args.batch, "weights_loaded": int(loaded)}
+    for tag, ov in (("serial", False), ("overlap", True)):
+        ts = [run(ov) for _ in range(args.reps)]
+        best = min(ts)
+        res[f"{tag}_s"] = round(best, 3)
+        res[f"{tag}_img_s"] = round(n_imgs / best, 1)
+        print(f"{tag}: {best:.3f}s = {n_imgs / best:.1f} img/s "
+              f"(all reps {[round(t, 3) for t in ts]})", flush=True)
+    res["speedup"] = round(res["overlap_img_s"] / max(res["serial_img_s"], 1e-9), 3)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
