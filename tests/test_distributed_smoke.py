@@ -1,0 +1,29 @@
+"""Real 2-process jax.distributed eval smoke (VERDICT r3 missing #3).
+
+Shells out to scripts/smoke_distributed.py, which launches two CPU worker
+processes under jax.distributed.initialize (localhost coordinator — the
+reference's gloo init, train_kd.py:48-51), and asserts:
+  - gather_host_objects round-trips ragged per-rank objects exactly
+    (the pickle all_gather replacement, libs/distributed.py:44-76);
+  - evaluator.valid on disjoint per-rank eval shards merges to the same
+    filename set + GT metadata as a single-process run.
+
+Slow: two jax processes + a reference run on the single core (~4 min).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_two_process_eval_merge():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "smoke_distributed.py")],
+        cwd=REPO, env=dict(os.environ, KD6D_CPU="1"),
+        capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
+    assert "PASS: 2-process jax.distributed eval merged" in r.stdout
