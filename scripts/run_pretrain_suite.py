@@ -176,6 +176,8 @@ def main():
         print(json.dumps({name: out}), flush=True)
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
+        import memguard
+        memguard.after_run(name)  # chain5 OOM'd from host-RSS accumulation
 
     if not args.skip_rescore:
         from run_post_suite import make_rescorer
@@ -190,6 +192,8 @@ def main():
             print(json.dumps({key: summary[key]}), flush=True)
             with open(args.out, "w") as f:
                 json.dump(summary, f, indent=1)
+            import memguard
+            memguard.after_run(key)
     print("PRETRAIN-SUITE-DONE", flush=True)
 
 
