@@ -201,7 +201,13 @@ class KDConfig:
     scaling: float = 0.5
     reach: Optional[float] = 0.5
     max_teacher_cells: int = 64  # fixed-shape cap for teacher voted cells
-    use_pallas: bool = True      # fused TPU kernel for the potential solve
+    # Pallas fused potential solve is value-exact (bench "pallas_vs_jax_rel
+    # _diff" ~2e-5) but measurably NO faster than the pure-XLA iteration on
+    # the production 128x64 shape (0.468 ms vs 0.31 ms component probe,
+    # results/bench_components_r3v2.json; step-level A/B is noise) — XLA
+    # already fuses the tiny softmin chain well. Pure JAX is therefore the
+    # default; the kernel stays as a tested alternative for larger shapes.
+    use_pallas: bool = False
     # which class channel the teacher votes: "gt" gathers the image's GT
     # class (identical to the reference's first-candidate label on
     # single-object LINEMOD scenes and cheaper); "pred" votes the teacher's

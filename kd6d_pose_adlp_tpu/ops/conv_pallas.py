@@ -72,8 +72,14 @@ def _make_kernel(C: int, O: int, H: int, Wp: int, alpha: float):
 
     def kernel(x_ref, w_ref, sc_ref, bi_ref, out_ref):
         from jax.experimental.pallas import tpu as pltpu
-        x = x_ref[0]                                          # (C, L)
+        # Mosaic implements lane rotates only for 32-bit element types
+        # ("Rotate with non-32-bit data: not implemented",
+        # results/r4_chain.log 09:28) — cast the slab once; the taps and
+        # dots then run in f32. For the stay-bf16 alternative see
+        # conv3x3_bn_act_stacked (shifts hoisted outside the kernel).
+        x = x_ref[0].astype(jnp.float32)                      # (C, L)
         L = x.shape[1]
+        w = w_ref[...].astype(jnp.float32)                    # (9, O, C)
         # nine accumulated (O, C) @ (C, M) taps; each operand is a lane
         # rotate of the slab truncated at lane 0 (x[:, off:off+M] ==
         # roll(x, L-off)[:, :M] since off+M <= L; pltpu.roll wants the
@@ -85,7 +91,7 @@ def _make_kernel(C: int, O: int, H: int, Wp: int, alpha: float):
             off = dy * Wp + dx
             shifted = pltpu.roll(x, L - off, 1)[:, :M] if off else x[:, :M]
             acc = acc + jax.lax.dot_general(
-                w_ref[tap], shifted,
+                w[tap], shifted,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (O, M) f32
         acc = acc * sc_ref[...] + bi_ref[...]                 # BN affine
@@ -128,6 +134,67 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
         out_shape=jax.ShapeDtypeStruct((B, O, H * Wp), x_flat.dtype),
         interpret=interpret,
     )(x_flat, wmat, scale, bias)
+
+
+def stack_taps(x_flat, H: int, W: int):
+    """(B, C, L) padded slab -> (B, 9, C, M) pre-shifted tap stack.
+
+    XLA-side companion of conv3x3_bn_act_stacked: the nine static lane
+    shifts move OUT of the kernel (nine cheap fused slices of one array),
+    so the kernel body is pure lane-0 dots and stays in bf16 — Mosaic
+    rotates only 32-bit data, so the in-kernel-roll form pays an f32 cast.
+    Cost: 9x the input's HBM footprint for the stacked operand.
+    """
+    B, C, L = x_flat.shape
+    Wp = W + 2
+    M = H * Wp
+    assert L == (H + 2) * Wp + 2, (L, H, Wp)
+    return jnp.stack([x_flat[:, :, dy * Wp + dx: dy * Wp + dx + M]
+                      for dy in range(3) for dx in range(3)], axis=1)
+
+
+def _make_kernel_stacked(alpha: float):
+    def kernel(xs_ref, w_ref, sc_ref, bi_ref, out_ref):
+        acc = sc_ref[...] * 0.0                               # (O, 1) f32
+        for tap in range(9):
+            acc = acc + jax.lax.dot_general(
+                w_ref[tap], xs_ref[0, tap],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (O, M) f32
+        acc = acc * sc_ref[...] + bi_ref[...]
+        out_ref[0] = jnp.where(acc >= 0, acc, alpha * acc).astype(
+            out_ref.dtype)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def conv3x3_bn_act_stacked(xs, wmat, scale, bias, *, alpha: float = 0.1,
+                           interpret: bool = False):
+    """Fused conv as 9 accumulated bf16 dots over a pre-stacked tap slab.
+
+    xs (B, 9, C, M) from stack_taps; wmat/scale/bias as conv3x3_bn_act_flat.
+    -> (B, O, M) output slab (same layout contract as the flat form).
+    """
+    from jax.experimental import pallas as pl
+
+    B, nine, C, M = xs.shape
+    assert nine == 9, xs.shape
+    O = wmat.shape[1]
+    assert wmat.shape == (9, O, C), wmat.shape
+    kern = _make_kernel_stacked(alpha)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 9, C, M), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((9, O, C), lambda b: (0, 0, 0)),
+            pl.BlockSpec((O, 1), lambda b: (0, 0)),
+            pl.BlockSpec((O, 1), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, O, M), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, O, M), xs.dtype),
+        interpret=interpret,
+    )(xs, wmat, scale, bias)
 
 
 def pack_weights(k):

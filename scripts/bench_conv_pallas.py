@@ -67,8 +67,11 @@ def main():
     from kd6d_pose_adlp_tpu.ops.conv_pallas import (conv3x3_bn_act,
                                                     conv3x3_bn_act_flat,
                                                     conv3x3_bn_act_ref,
+                                                    conv3x3_bn_act_stacked,
+                                                    flat_to_nhwc,
                                                     nhwc_to_flat,
-                                                    pack_weights)
+                                                    pack_weights,
+                                                    stack_taps)
     from kd6d_pose_adlp_tpu.utils.jaxcache import setup_compilation_cache
     setup_compilation_cache()
 
@@ -102,26 +105,39 @@ def main():
         sc2, bi2 = scale.reshape(-1, 1), bias.reshape(-1, 1)
         xf = nhwc_to_flat(x)
 
-        # on-chip value check (bf16 tolerance)
-        ref = conv3x3_bn_act_ref(x, k, scale, bias)
+        # on-chip value checks (bf16 tolerance) for both kernel forms
+        ref32 = conv3x3_bn_act_ref(x, k, scale, bias).astype(jnp.float32)
+        refmax = float(jnp.abs(ref32).max()) + 1e-9
         out = conv3x3_bn_act(x, k, scale, bias, interpret=interpret)
-        rel = float(jnp.abs(out.astype(jnp.float32) -
-                            ref.astype(jnp.float32)).max() /
-                    (jnp.abs(ref.astype(jnp.float32)).max() + 1e-9))
+        rel = float(jnp.abs(out.astype(jnp.float32) - ref32).max() / refmax)
+        xs = stack_taps(xf, H, H)
+        out_s = flat_to_nhwc(
+            conv3x3_bn_act_stacked(xs, wmat, sc2, bi2, interpret=interpret),
+            H, H)
+        rel_s = float(jnp.abs(out_s.astype(jnp.float32) - ref32).max()
+                      / refmax)
 
         fn_xla = lambda c: conv3x3_bn_act_ref(c, k, scale, bias)
         fn_flat = lambda c: conv3x3_bn_act_flat(c, wmat, sc2, bi2, H=H, W=H,
                                                 interpret=interpret)
         fn_nhwc = lambda c: conv3x3_bn_act(c, k, scale, bias,
                                            interpret=interpret)
+        # stack-inclusive: carry is the flat slab, the timed body rebuilds
+        # the (9, C, M) stack each call like a drop-in layer would
+        fn_stack = lambda c: conv3x3_bn_act_stacked(
+            stack_taps(c, H, H), wmat, sc2, bi2, interpret=interpret)
 
-        r = {"rel_err_vs_xla": round(rel, 6)}
+        r = {"rel_err_vs_xla": round(rel, 6),
+             "rel_err_stacked": round(rel_s, 6)}
         r["xla_ms"] = round(1e3 * timeit(chained(fn_xla, x, K)) / K, 4)
         r["pallas_flat_ms"] = round(
             1e3 * timeit(chained(fn_flat, xf, K)) / K, 4)
+        r["pallas_stack_ms"] = round(
+            1e3 * timeit(chained(fn_stack, xf, K)) / K, 4)
         r["pallas_nhwc_ms"] = round(
             1e3 * timeit(chained(fn_nhwc, x, K)) / K, 4)
         r["speedup_flat"] = round(r["xla_ms"] / r["pallas_flat_ms"], 3)
+        r["speedup_stack"] = round(r["xla_ms"] / r["pallas_stack_ms"], 3)
         r["speedup_nhwc"] = round(r["xla_ms"] / r["pallas_nhwc_ms"], 3)
         gflop = 2 * B * H * H * O * 9 * C / 1e9
         r["gflop"] = round(gflop, 3)

@@ -42,7 +42,10 @@ def build_parser():
     ap.add_argument("--classes", type=str, default="",
                     help="train-class subset, e.g. '1-14' or '1,2,5'; empty "
                          "= LINEMOD-style single class 0")
-    ap.add_argument("--use_pallas", type=int, default=1)
+    ap.add_argument("--use_pallas", type=int, default=0,
+                    help="Pallas Sinkhorn solve; 0 = pure XLA (the measured "
+                         "winner on the production shape, BASELINE.md "
+                         "'Kernel decisions')")
     ap.add_argument("--remat", type=int, default=0,
                     help="rematerialize the student forward in the backward "
                          "(same gradients, ~no stored activations)")
