@@ -11,8 +11,9 @@ import pytest
 
 from kd6d_pose_adlp_tpu.ops.conv_pallas import (conv3x3_bn_act,
                                                 conv3x3_bn_act_ref,
+                                                conv3x3_bn_act_stacked,
                                                 flat_to_nhwc, nhwc_to_flat,
-                                                pack_weights)
+                                                pack_weights, stack_taps)
 
 
 @pytest.mark.parametrize("B,H,W,C,O", [
@@ -28,6 +29,30 @@ def test_matches_xla_oracle(B, H, W, C, O):
     bias = jax.random.normal(k4, (O,)) * 0.1
     ref = conv3x3_bn_act_ref(x, k, scale, bias)
     out = conv3x3_bn_act(x, k, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,H,W,C,O", [
+    (2, 16, 16, 3, 8),
+    (2, 12, 20, 8, 16),
+])
+def test_stacked_form_matches_xla_oracle(B, H, W, C, O):
+    """The pre-stacked tap form (shifts hoisted outside the kernel, bf16
+    dots at lane 0 — the Mosaic-rotate-free alternative) is value-exact."""
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    x = jax.random.normal(k1, (B, H, W, C), jnp.float32)
+    k = jax.random.normal(k2, (3, 3, C, O), jnp.float32) * 0.1
+    scale = jax.random.normal(k3, (O,)) * 0.5 + 1.0
+    bias = jax.random.normal(k4, (O,)) * 0.1
+    ref = conv3x3_bn_act_ref(x, k, scale, bias)
+    xs = stack_taps(nhwc_to_flat(x), H, W)
+    assert xs.shape == (B, 9, C, H * (W + 2))
+    y = conv3x3_bn_act_stacked(
+        xs, pack_weights(k),
+        scale.reshape(-1, 1).astype(jnp.float32),
+        bias.reshape(-1, 1).astype(jnp.float32), interpret=True)
+    out = flat_to_nhwc(y, H, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
