@@ -115,6 +115,8 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
     """
     from jax.experimental import pallas as pl
 
+    from jax.experimental.pallas import tpu as pltpu
+
     B, C, L = x_flat.shape
     Wp = W + 2
     assert L == (H + 2) * Wp + 2, (L, H, Wp)
@@ -123,6 +125,11 @@ def conv3x3_bn_act_flat(x_flat, wmat, scale, bias, *, H: int, W: int,
     kern = _make_kernel(C, O, H, Wp, alpha)
     return pl.pallas_call(
         kern,
+        # the 256² stem's f32 slab + roll temporaries + f32 acc exceed the
+        # 16 MB default scoped-vmem limit (18.65M OOM, results/conv_ab_r4.log
+        # 11:44); v5e VMEM is 128 MB — raise the scope for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, C, L), lambda b: (b, 0, 0)),
@@ -177,6 +184,8 @@ def conv3x3_bn_act_stacked(xs, wmat, scale, bias, *, alpha: float = 0.1,
     """
     from jax.experimental import pallas as pl
 
+    from jax.experimental.pallas import tpu as pltpu
+
     B, nine, C, M = xs.shape
     assert nine == 9, xs.shape
     O = wmat.shape[1]
@@ -184,6 +193,10 @@ def conv3x3_bn_act_stacked(xs, wmat, scale, bias, *, alpha: float = 0.1,
     kern = _make_kernel_stacked(alpha)
     return pl.pallas_call(
         kern,
+        # same scoped-vmem headroom as the flat form (stem shapes carry
+        # multi-MB spatial slabs per block)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 9, C, M), lambda b: (b, 0, 0, 0)),
