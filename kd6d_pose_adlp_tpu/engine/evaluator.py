@@ -46,11 +46,77 @@ def remap_pose_host(src_K: np.ndarray, R: np.ndarray, T: np.ndarray,
     return np.asarray(Rh, np.float64), np.asarray(Th, np.float64).reshape(3, 1)
 
 
+def _staged_iter(eval_batches: Iterable, stage: bool = True):
+    """Iterate (batch, metas) while ONE background thread pre-builds the next
+    item and starts its host->device image upload.
+
+    The eval loop's per-batch host->device traffic is dominated by the uint8
+    image crops (~4.7 MB at batch 24); through the remote-tunnel relay that
+    upload blocks the dispatching thread for most of the batch period.
+    `jax.device_put` releases the GIL during the transfer, so staging it (and
+    any lazy batch construction the iterator does) in a worker overlaps both
+    with the host consume pass. Order-preserving, exception-transparent;
+    `stage=False` degrades to plain iteration (the A/B control)."""
+    it = iter(eval_batches)
+    if not stage:
+        yield from it
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one():
+        nxt = next(it, None)
+        if nxt is None:
+            return None
+        batch, metas = nxt
+        try:
+            batch = batch._replace(images=jax.device_put(batch.images))
+        except Exception:
+            pass  # fail-soft: un-staged arrays still upload at dispatch time
+        return batch, metas
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_one)
+        while True:
+            item = fut.result()
+            if item is None:
+                return
+            fut = pool.submit(_one)
+            yield item
+
+
+def _host_key_splitter(rng):
+    """Per-batch PRNG splitting without a per-batch device dispatch.
+
+    `jax.random.split` is a (tiny) compiled op: on the tunnel-attached TPU
+    each call is a remote round-trip. Threefry is backend-deterministic, so
+    splitting on the host CPU backend yields bit-identical keys; the key is
+    returned as host numpy (uncommitted) so the downstream jit can place it.
+    Falls back to on-device splitting when no CPU backend exists."""
+    on_cpu = False
+    try:
+        rng = jax.device_put(rng, jax.devices("cpu")[0])
+        on_cpu = True
+    except Exception:
+        pass
+    state = [rng]
+
+    def next_key():
+        state[0], sub = jax.random.split(state[0])
+        if on_cpu:
+            try:
+                return np.asarray(sub)  # old-style uint32 key
+            except TypeError:
+                return sub  # typed key array: leave as-is
+        return sub
+
+    return next_key
+
+
 def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn,
           eval_batches: Iterable, meshes: Sequence[np.ndarray],
           step: int = 0, working_dir: Optional[str] = None,
           logger: Optional[ScalarLogger] = None, rng: Optional[jax.Array] = None,
-          verbose: bool = True, overlap: bool = True) -> Dict:
+          verbose: bool = True, overlap: bool = True, stage: bool = True) -> Dict:
     """eval_batches yields (Batch, metas) where metas is a list of per-image
     dicts with keys: filename, K, width, height, class_ids, rotations,
     translations. Returns the metric structures of
@@ -104,12 +170,15 @@ def valid(cfg: Config, consts: TaskConsts, variables, forward_fn, postprocess_fn
     # host runs Python on i. Reference hot loop: libs/eval_libs.py:59-95.
     # overlap=False restores the serial order (the A/B control for
     # scripts/bench_eval_overlap.py; results are identical either way —
-    # only the dispatch timing changes).
+    # only the dispatch timing changes). stage=True additionally pre-uploads
+    # the next batch's images from a worker thread (_staged_iter) and splits
+    # the per-batch RANSAC key on the host (_host_key_splitter) — both pure
+    # scheduling changes, pinned identical by tests/test_eval_overlap.py.
+    next_key = _host_key_splitter(rng)
     pending = None
-    for batch, metas in eval_batches:
+    for batch, metas in _staged_iter(eval_batches, stage):
         cls_logits, pred_reg = forward_fn(variables, batch.images)
-        rng, sub = jax.random.split(rng)
-        dev_out = postprocess_fn(cls_logits, pred_reg, batch, sub)
+        dev_out = postprocess_fn(cls_logits, pred_reg, batch, next_key())
         if pending is not None:
             consume(jax.device_get(pending[0]), pending[1])
         if overlap:
@@ -216,13 +285,13 @@ def detection_stats(cfg: Config, consts: TaskConsts, variables, forward_fn,
                 if e < 0.1 * diam[c]:
                     n_adi += 1
 
-    # double-buffered like valid(): batch i+1 computes while the host
-    # scores batch i
+    # double-buffered + staged like valid(): batch i+1 uploads and computes
+    # while the host scores batch i
+    next_key = _host_key_splitter(rng)
     pending = None
-    for batch, metas in eval_batches:
+    for batch, metas in _staged_iter(eval_batches):
         cls_logits, pred_reg = forward_fn(variables, batch.images)
-        rng, sub = jax.random.split(rng)
-        dev_out = predict(cls_logits, pred_reg, batch, sub)
+        dev_out = predict(cls_logits, pred_reg, batch, next_key())
         if pending is not None:
             consume(jax.device_get(pending[0]), pending[1])
         pending = (dev_out, batch)

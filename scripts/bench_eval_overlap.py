@@ -76,24 +76,29 @@ def main():
     batches = list(data.eval_batches())
     n_imgs = sum(len(m) for _, m in batches)
 
-    def run(overlap: bool) -> float:
+    def run(overlap: bool, stage: bool = True) -> float:
         t0 = time.time()
         evaluator.valid(cfg, data.consts, variables, forward, postprocess,
                         iter(batches), data.meshes, verbose=False,
-                        overlap=overlap)
+                        overlap=overlap, stage=stage)
         return time.time() - t0
 
-    run(True)   # compile warm-up (both arms share the same programs)
+    run(True)   # compile warm-up (all arms share the same programs)
     res = {"platform": jax.devices()[0].platform, "eval_n": n_imgs,
            "batch": args.batch, "weights_loaded": int(loaded)}
-    for tag, ov in (("serial", False), ("overlap", True)):
-        ts = [run(ov) for _ in range(args.reps)]
+    # three arms: strictly serial, double-buffered dispatch only, and
+    # double-buffered + background image-upload staging (the default)
+    for tag, ov, st in (("serial", False, False), ("overlap", True, False),
+                        ("staged", True, True)):
+        ts = [run(ov, st) for _ in range(args.reps)]
         best = min(ts)
         res[f"{tag}_s"] = round(best, 3)
         res[f"{tag}_img_s"] = round(n_imgs / best, 1)
         print(f"{tag}: {best:.3f}s = {n_imgs / best:.1f} img/s "
               f"(all reps {[round(t, 3) for t in ts]})", flush=True)
     res["speedup"] = round(res["overlap_img_s"] / max(res["serial_img_s"], 1e-9), 3)
+    res["speedup_staged"] = round(
+        res["staged_img_s"] / max(res["serial_img_s"], 1e-9), 3)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)

@@ -45,20 +45,27 @@ def test_eval_overlap_matches_serial():
         batches.append((batch, metas))
     outs = [_fabricated_outputs(b, consts, cfg) for b, _ in batches]
 
-    def run(overlap):
+    def run(overlap, stage=True):
         it = iter(outs)
 
         def forward(variables, images):
             return next(it)
 
-        return evaluator.valid(cfg_eval, consts, None, forward, postprocess,
-                               batches, meshes, verbose=False,
-                               overlap=overlap)
+        # a lazy generator (not a list) so the staging worker actually
+        # exercises the pull-from-iterator path
+        def gen():
+            yield from batches
 
+        return evaluator.valid(cfg_eval, consts, None, forward, postprocess,
+                               gen(), meshes, verbose=False,
+                               overlap=overlap, stage=stage)
+
+    r_serial = run(False, stage=False)
+    for overlap, stage in ((True, True), (True, False), (False, True)):
+        r = run(overlap, stage)
+        assert r["predictions"] == r_serial["predictions"], (overlap, stage)
+        assert r["table"] == r_serial["table"], (overlap, stage)
     r_overlap = run(True)
-    r_serial = run(False)
-    assert r_overlap["predictions"] == r_serial["predictions"]
-    assert r_overlap["table"] == r_serial["table"]
     # and the pipeline actually scored something (not a vacuous pass)
     adi = [r_serial["adi_per_class"][1].get("ADI.10d")]
     assert adi[0] is not None and adi[0] > 0.0, r_serial["table"]
