@@ -128,3 +128,95 @@ def test_drawing_helpers_produce_images():
     verts = np.random.default_rng(0).uniform(-0.1, 0.1, (500, 3))
     out2 = draw_mesh_contour(img, R, T, K, verts)
     assert out2.shape == img.shape and out2.sum() > 0
+
+
+def _rand_rot(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([[1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                     [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                     [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def test_compute_pose_diff_batch_matches_scalar_oracle():
+    """The evaluator scores whole classes via the batched/GEMM/KD-tree path;
+    it must reproduce the per-image scalar oracle exactly (both the plain ADD
+    and the symmetric closest-point ADI), including per-image intrinsics."""
+    rng = np.random.default_rng(7)
+    mesh = rng.normal(size=(1500, 3)) * 40  # > max_pts: exercises subsampling
+    N = 17
+    Ks = np.stack([np.array([[572.4 + rng.normal(), 0, 325.0],
+                             [0, 573.5 + rng.normal(), 242.0],
+                             [0, 0, 1.0]]) for _ in range(N)])
+    gtR = np.stack([_rand_rot(rng) for _ in range(N)])
+    pR = np.stack([_rand_rot(rng) for _ in range(N)])
+    gtT = rng.normal(size=(N, 3)) * 50 + [0, 0, 800]
+    pT = gtT + rng.normal(size=(N, 3)) * 5
+    for is_sym in (False, True):
+        e3b, e2b = M.compute_pose_diff_batch(mesh, Ks, gtR, gtT, pR, pT,
+                                             is_sym=is_sym)
+        for i in range(N):
+            e3, e2 = M.compute_pose_diff(mesh, Ks[i], gtR[i], gtT[i],
+                                         pR[i], pT[i], is_sym=is_sym)
+            assert abs(e3b[i] - e3) < 1e-9, (is_sym, i)
+            assert abs(e2b[i] - e2) < 1e-9, (is_sym, i)
+
+
+def test_evaluate_pose_predictions_matches_per_image_scoring():
+    """End-to-end: the batched evaluate_pose_predictions must agree with a
+    naive per-image rescoring of the same predictions dict (hit + miss mix,
+    symmetric and non-symmetric classes)."""
+    rng = np.random.default_rng(11)
+    n_img, n_cls = 40, 3
+    meshes = [rng.normal(size=(300, 3)) * 40 for _ in range(n_cls)]
+    diams = [120.0, 140.0, 160.0]
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    preds = {}
+    for i in range(n_img):
+        c = int(rng.integers(0, n_cls))
+        R, T = _rand_rot(rng), rng.normal(size=3) * 40 + [0, 0, 700]
+        hit = rng.random() < 0.7
+        p = []
+        if hit:
+            p = [[0.9, c, (R + rng.normal(size=(3, 3)) * 0.02).tolist(),
+                  (T + rng.normal(size=3) * 8).reshape(3, 1).tolist(), []]]
+        preds[f"im{i}"] = {
+            "meta": {"K": K.tolist(), "width": 640, "height": 480,
+                     "class_ids": [c], "rotations": [R.tolist()],
+                     "translations": [T.tolist()]},
+            "pred": p}
+    sym = {1: ("Z", 180)}
+    res = M.evaluate_pose_predictions(preds, n_cls + 1, meshes, diams, sym)
+
+    # naive rescoring with the scalar oracle
+    for clsid in range(n_cls):
+        errs_adi, errs_rep, errs_abs = [], [], []
+        for item in preds.values():
+            if clsid not in item["meta"]["class_ids"]:
+                continue
+            gtR = np.asarray(item["meta"]["rotations"][0])
+            gtT = np.asarray(item["meta"]["translations"][0])
+            if item["pred"]:
+                e3, e2 = M.compute_pose_diff(
+                    meshes[clsid], K, gtR, gtT,
+                    np.asarray(item["pred"][0][2]),
+                    np.asarray(item["pred"][0][3]), is_sym=clsid in sym)
+                errs_adi.append(e3 / diams[clsid])
+                errs_abs.append(e3)
+                errs_rep.append(e2)
+            else:
+                errs_adi.append(1.0)
+                errs_abs.append(1e10)
+                errs_rep.append(50.0)
+        if not errs_adi:
+            continue
+        for t in M.THRESHOLDS_ADI:
+            key = "ADI" + (f"{t:.2f}d").lstrip("0")
+            want = 100.0 * (np.asarray(errs_adi) < t).mean()
+            assert abs(res["adi_per_class"][clsid][key] - want) < 1e-9
+        for t in M.THRESHOLDS_REP:
+            want = 100.0 * (np.asarray(errs_rep) < t).mean()
+            assert abs(res["rep_per_class"][clsid][f"REP{t:02d}px"] - want) < 1e-9
+        want_auc = 100.0 * M.auc_metric(errs_abs, 100.0)
+        assert abs(res["auc_per_class"][clsid]["AUC    "] - want_auc) < 1e-9
