@@ -96,6 +96,11 @@ class ModelConfig:
     # trainable batch size ceiling on a 16 GB v5e (identical gradients;
     # tests/test_train_e2e.py pins equality)
     remat: bool = False
+    # int8 post-training quantization (inference-only, requires bn_folded):
+    # "" = off, "calibrate" = float forward that records per-conv input
+    # ranges, "quant" = int8 convs from the 'quant' collection built by
+    # utils/quant.quantize_variables (v5e MXU int8 peak is 2x bf16)
+    quant_mode: str = ""
 
     @property
     def feat_channels(self) -> Tuple[int, ...]:

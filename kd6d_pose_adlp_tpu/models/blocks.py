@@ -22,6 +22,85 @@ def leaky_relu(x, alpha: float = 0.1):
     return nn.leaky_relu(x, negative_slope=alpha)
 
 
+class QConv(nn.Module):
+    """Post-training-quantized int8 convolution (TPU MXU runs int8 matmuls at
+    2x the bf16 peak on v5e). Two modes, selected by `mode`:
+
+    - "calibrate": behaves exactly like the nn.Conv it replaces (same param
+      names/init, so checkpoint trees line up) and additionally sows the
+      running absmax of its input into the mutable 'quant_stats' collection.
+      Run a few batches with apply(..., mutable=['quant_stats']) to collect
+      per-conv activation ranges.
+    - "quant": parameter-free. Reads int8 weights + scales from the 'quant'
+      collection (built offline by utils/quant.build_quant_variables from the
+      BN-folded f32 checkpoint + calibration stats): x is quantized per-tensor
+      symmetric (scale = absmax/127), the conv accumulates int8*int8->int32 on
+      the MXU, and the result is dequantized with the per-output-channel
+      weight scale and biased in f32.
+
+    Symmetric quantization maps 0 -> 0 exactly, so zero padding is exact.
+    Used by ConvBNAct (folded backbones), FPN and the head towers.
+    """
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: object = "SAME"
+    mode: str = "calibrate"
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: object = kaiming_uniform
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        ksz = (self.kernel_size, self.kernel_size)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.mode == "quant":
+            kshape = ksz + (x.shape[-1], self.features)
+            kq = self.variable("quant", "kernel_q",
+                               lambda: jnp.zeros(kshape, jnp.int8)).value
+            w_scale = self.variable("quant", "w_scale",
+                                    lambda: jnp.ones((self.features,), jnp.float32)).value
+            bias = self.variable("quant", "bias",
+                                 lambda: jnp.zeros((self.features,), jnp.float32)).value
+            in_scale = self.variable("quant", "in_scale",
+                                     lambda: jnp.ones((), jnp.float32)).value
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale),
+                          -127, 127).astype(jnp.int8)
+            pad = self.padding
+            if pad == "SAME" and self.strides == 1:
+                p = self.kernel_size // 2
+                pad = ((p, p), (p, p))
+            elif pad == "VALID":
+                pad = ((0, 0), (0, 0))
+            y = jax.lax.conv_general_dilated(
+                xq, kq, (self.strides, self.strides), pad,
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    xq.shape, kq.shape, dn),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (in_scale * w_scale) + bias
+            return y.astype(self.dtype)
+
+        # calibrate: plain conv (nn.Conv-compatible params) + input-absmax sow
+        self.sow("quant_stats", "in_amax",
+                 jnp.max(jnp.abs(x)).astype(jnp.float32),
+                 init_fn=lambda: jnp.zeros((), jnp.float32),
+                 reduce_fn=jnp.maximum)
+        return self._plain_conv(x)
+
+    def _plain_conv(self, x):
+        """nn.Conv-equivalent application with params created in THIS scope
+        (so the param tree path is identical to the nn.Conv it replaces)."""
+        kshape = (self.kernel_size, self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.strides, self.strides), self.padding,
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")))
+        return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
 class ConvBNAct(nn.Module):
     """Conv2d(bias=False) -> BatchNorm(eps=1e-5) -> activation
     (reference backbone/common.py:250-330).
@@ -37,6 +116,7 @@ class ConvBNAct(nn.Module):
     alpha: float = 0.1  # LeakyReLU slope; None-like sentinel via use_act
     use_act: bool = True
     folded: bool = False
+    quant_mode: str = ""  # "" | "calibrate" | "quant" (int8 PTQ; needs folded)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,6 +131,14 @@ class ConvBNAct(nn.Module):
         else:
             pad = self.kernel_size // 2
             padding = ((pad, pad), (pad, pad))
+        if self.quant_mode:
+            assert self.folded, "int8 PTQ runs on the BN-folded network"
+            x = QConv(self.features, self.kernel_size, self.strides,
+                      padding=padding, mode=self.quant_mode,
+                      dtype=self.dtype, name="conv")(x)
+            if self.use_act:
+                x = leaky_relu(x, self.alpha)
+            return x.astype(self.dtype)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),

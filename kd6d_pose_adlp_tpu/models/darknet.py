@@ -40,6 +40,7 @@ class DarkNet(nn.Module):
     include_head: bool = False
     n_classes: int = 1000
     folded: bool = False  # BN pre-folded into conv (frozen teacher path)
+    quant_mode: str = ""  # int8 PTQ mode for ConvBNAct (see blocks.QConv)
     # space-to-depth stem (TPU experiment, SURVEY §7): rearrange the input
     # to half resolution x 4x channels before stage1 and skip the first
     # pool — pyramid shapes are unchanged, stage-1 FLOPs halve, and the
@@ -64,7 +65,7 @@ class DarkNet(nn.Module):
                 pointwise = (len(stage) > 1) and not (((j + 1) % 2 == 1) ^ odd_pointwise)
                 x = ConvBNAct(feats, kernel_size=1 if pointwise else 3,
                               alpha=self.alpha, dtype=self.dtype,
-                              folded=self.folded,
+                              folded=self.folded, quant_mode=self.quant_mode,
                               name=f"stage{si + 1}_unit{j + 1}")(x, train=train)
             outs.append(x)
             if si != len(channels) - 1 and not (self.s2d_stem and si == 0):

@@ -22,6 +22,7 @@ class DarkUnit(nn.Module):
     features: int
     alpha: float = 0.1
     folded: bool = False
+    quant_mode: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -29,10 +30,10 @@ class DarkUnit(nn.Module):
         identity = x
         x = ConvBNAct(self.features // 2, kernel_size=1, alpha=self.alpha,
                       dtype=self.dtype, folded=self.folded,
-                      name="conv1")(x, train=train)
+                      quant_mode=self.quant_mode, name="conv1")(x, train=train)
         x = ConvBNAct(self.features, kernel_size=3, alpha=self.alpha,
                       dtype=self.dtype, folded=self.folded,
-                      name="conv2")(x, train=train)
+                      quant_mode=self.quant_mode, name="conv2")(x, train=train)
         return x + identity
 
 
@@ -41,20 +42,23 @@ class DarkNet53(nn.Module):
     include_head: bool = False
     n_classes: int = 1000
     folded: bool = False  # BN pre-folded into conv (frozen teacher path)
+    quant_mode: str = ""  # int8 PTQ mode for ConvBNAct (see blocks.QConv)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNAct(32, kernel_size=3, alpha=self.alpha, dtype=self.dtype,
-                      folded=self.folded, name="init_block")(x, train=train)
+                      folded=self.folded, quant_mode=self.quant_mode,
+                      name="init_block")(x, train=train)
         outs = []
         for si, (n_units, feats) in enumerate(zip(LAYERS, CHANNELS)):
             x = ConvBNAct(feats, kernel_size=3, strides=2, alpha=self.alpha,
                           dtype=self.dtype, folded=self.folded,
+                          quant_mode=self.quant_mode,
                           name=f"stage{si + 1}_unit1")(x, train=train)
             for j in range(n_units - 1):
                 x = DarkUnit(feats, alpha=self.alpha, dtype=self.dtype,
-                             folded=self.folded,
+                             folded=self.folded, quant_mode=self.quant_mode,
                              name=f"stage{si + 1}_unit{j + 2}")(x, train=train)
             outs.append(x)
         if self.include_head:

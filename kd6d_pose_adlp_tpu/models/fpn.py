@@ -24,14 +24,21 @@ class FPN(nn.Module):
     in_channels: Sequence[int]  # zeros mark skipped backbone levels
     out_channel: int
     use_p6p7: bool = True
+    quant_mode: str = ""  # int8 PTQ mode (see blocks.QConv)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs):
-        conv = lambda k, name: nn.Conv(
-            self.out_channel, (k, k), padding="SAME", use_bias=True,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=kaiming_uniform_a1, name=name)
+        if self.quant_mode:
+            from .blocks import QConv
+            conv = lambda k, name: QConv(
+                self.out_channel, k, padding="SAME", mode=self.quant_mode,
+                dtype=self.dtype, kernel_init=kaiming_uniform_a1, name=name)
+        else:
+            conv = lambda k, name: nn.Conv(
+                self.out_channel, (k, k), padding="SAME", use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=kaiming_uniform_a1, name=name)
 
         used = [i for i, c in enumerate(self.in_channels) if c > 0]
         assert len(used) >= 1
@@ -51,13 +58,19 @@ class FPN(nn.Module):
             # top_blocks(outs[-1], inputs[-1]) and selects its SECOND arg
             # (models/model.py:80,97-103), whose channel count is
             # feat_channels[-1] (models/model.py:480).
-            p6 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
-                         padding=((1, 1), (1, 1)),
-                         use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-                         kernel_init=kaiming_uniform_a1, name="p6")(inputs[used[-1]])
-            p7 = nn.Conv(self.out_channel, (3, 3), strides=(2, 2),
-                         padding=((1, 1), (1, 1)),
-                         use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-                         kernel_init=kaiming_uniform_a1, name="p7")(nn.relu(p6))
+            if self.quant_mode:
+                from .blocks import QConv
+                conv2 = lambda name: QConv(
+                    self.out_channel, 3, strides=2, padding=((1, 1), (1, 1)),
+                    mode=self.quant_mode, dtype=self.dtype,
+                    kernel_init=kaiming_uniform_a1, name=name)
+            else:
+                conv2 = lambda name: nn.Conv(
+                    self.out_channel, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=kaiming_uniform_a1,
+                    name=name)
+            p6 = conv2("p6")(inputs[used[-1]])
+            p7 = conv2("p7")(nn.relu(p6))
             outs.extend([p6, p7])
         return outs

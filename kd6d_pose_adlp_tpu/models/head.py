@@ -21,6 +21,9 @@ class PoseHead(nn.Module):
     n_conv: int = 4
     prior: float = 0.01
     n_levels: int = 5    # number of Scale params (reference hardcodes 5)
+    quant_mode: str = ""  # int8 PTQ for the TOWER convs (see blocks.QConv);
+    # the output convs (cls_logits / pose_pred) stay float: negligible FLOPs,
+    # prediction-precision-sensitive
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -30,11 +33,18 @@ class PoseHead(nn.Module):
             c, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype,
             param_dtype=jnp.float32, kernel_init=nn.initializers.normal(0.01),
             bias_init=binit, name=name)
+        if self.quant_mode:
+            from .blocks import QConv
+            tower_conv = lambda c, name: QConv(
+                c, 3, padding="SAME", mode=self.quant_mode, dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.01), name=name)
+        else:
+            tower_conv = conv
 
-        cls_tower = [(conv(width, f"cls_conv{i}"),
+        cls_tower = [(tower_conv(width, f"cls_conv{i}"),
                       nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                    name=f"cls_gn{i}")) for i in range(self.n_conv)]
-        pose_tower = [(conv(width, f"pose_conv{i}"),
+        pose_tower = [(tower_conv(width, f"pose_conv{i}"),
                        nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                     name=f"pose_gn{i}")) for i in range(self.n_conv)]
         prior_bias = -math.log((1 - self.prior) / self.prior)

@@ -23,18 +23,21 @@ from .head import PoseHead
 
 def make_backbone(cfg: ModelConfig, dtype=jnp.float32, name: str = "backbone"):
     folded = getattr(cfg, "bn_folded", False)
+    qm = getattr(cfg, "quant_mode", "")
     if cfg.backbone == "darknet53":
-        return DarkNet53(dtype=dtype, folded=folded, name=name)
+        return DarkNet53(dtype=dtype, folded=folded, quant_mode=qm, name=name)
     if cfg.backbone == "darknet_tiny":
-        return DarkNet(version="tiny", dtype=dtype, folded=folded, name=name)
+        return DarkNet(version="tiny", dtype=dtype, folded=folded,
+                       quant_mode=qm, name=name)
     if cfg.backbone == "darknet_tiny_h":
-        return DarkNet(version="tiny-h", dtype=dtype, folded=folded, name=name)
+        return DarkNet(version="tiny-h", dtype=dtype, folded=folded,
+                       quant_mode=qm, name=name)
     if cfg.backbone == "darknet_tiny_h_wide":
         return DarkNet(version="tiny-h-wide", dtype=dtype, folded=folded,
-                       name=name)
+                       quant_mode=qm, name=name)
     if cfg.backbone == "darknet_tiny_h_s2d":
         return DarkNet(version="tiny-h", s2d_stem=True, dtype=dtype,
-                       folded=folded, name=name)
+                       folded=folded, quant_mode=qm, name=name)
     raise ValueError(f"Unsupported backbone {cfg.backbone}")
 
 
@@ -58,11 +61,15 @@ class PoseNet(nn.Module):
         backbone = make_backbone(self.cfg, dtype=dtype, name="backbone")
         feats = backbone(images.astype(dtype), train=train)
         fpn = FPN(in_channels=self.cfg.feat_channels, out_channel=self.cfg.out_channel,
-                  use_p6p7=self.cfg.use_higher_levels, dtype=dtype, name="fpn")
+                  use_p6p7=self.cfg.use_higher_levels,
+                  quant_mode=getattr(self.cfg, "quant_mode", ""),
+                  dtype=dtype, name="fpn")
         pyramid = fpn(feats)
         assert len(pyramid) == self.cfg.num_levels
         head = PoseHead(n_fg=self.n_fg, n_conv=self.cfg.n_conv, prior=self.cfg.prior,
-                        n_levels=max(5, self.cfg.num_levels), dtype=dtype, name="head")
+                        n_levels=max(5, self.cfg.num_levels),
+                        quant_mode=getattr(self.cfg, "quant_mode", ""),
+                        dtype=dtype, name="head")
         logits, pose_reg = head(pyramid)
 
         B = images.shape[0]

@@ -50,6 +50,14 @@ def main():
                     help="fold BatchNorm into conv weights before export "
                          "(utils.fold_bn): strictly fewer ops per inference "
                          "and no BN stats in the artifact")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 post-training quantization (utils.quant, "
+                         "requires --fold_bn): per-channel int8 conv weights "
+                         "+ calibrated activation scales baked into the "
+                         "artifact; v5e MXU int8 peak is 2x bf16. Accuracy "
+                         "cost measured at ~0 ADI (scripts/bench_quant.py)")
+    ap.add_argument("--quant_calib_batches", type=int, default=4,
+                    help="eval batches for --quant activation calibration")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -79,7 +87,10 @@ def main():
         cfg = Config(model=ModelConfig(backbone=args.backbone,
                                        input_res=args.input_res,
                                        compute_dtype=dtype))
-    bundle = loaders.build(cfg, args.data, eval_limit=1)
+    bundle = loaders.build(
+        cfg, args.data,
+        eval_limit=(args.quant_calib_batches * cfg.test.ims_per_batch
+                    if args.quant else 1))
     cfg = bundle.cfg or cfg
     consts = bundle.consts
 
@@ -109,6 +120,21 @@ def main():
         print(f"fold_bn: max logit delta {err:.2e} (tol {tol})", flush=True)
         assert err < tol, "BN folding changed the network beyond tolerance"
         variables = folded
+
+    if args.quant:
+        if not args.fold_bn:
+            raise SystemExit("--quant requires --fold_bn")
+        from kd6d_pose_adlp_tpu.utils.quant import quantize_posenet
+        calib = []
+        for b, _ in bundle.eval_batches():
+            calib.append(b.images)
+            if len(calib) >= args.quant_calib_batches:
+                break
+        _, variables = quantize_posenet(cfg.model, cfg.data.n_fg, variables,
+                                        calib)
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, quant_mode="quant"))
+        print(f"int8-quantized ({len(calib)} calib batches)", flush=True)
 
     meta = export_inference(cfg, consts, variables, args.out,
                             batch_size=args.batch_size, mode=args.mode,

@@ -89,6 +89,16 @@ def get_argparser():
     p.add_argument("--fold_teacher_bn", type=str2bool, nargs="?", const=True,
                    default=True,
                    help="fold the frozen teacher's BN into its conv weights")
+    p.add_argument("--quant_teacher", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="int8-quantize the frozen teacher (PTQ, utils/quant): "
+                        "per-channel int8 weights + calibrated activation "
+                        "scales; the v5e MXU runs int8 at 2x the bf16 peak. "
+                        "Requires --fold_teacher_bn. The teacher sanity eval "
+                        "then scores the QUANTIZED teacher — check it there")
+    p.add_argument("--quant_calib_batches", type=int, default=4,
+                   help="eval batches used to calibrate teacher activation "
+                        "ranges for --quant_teacher")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--cpu", action="store_true",
@@ -181,6 +191,24 @@ def main():
                 cfg_t.model, bn_folded=True))
             teacher_net = PoseNet(cfg=cfg_t.model, n_fg=cfg.data.n_fg)
             print("teacher: BN folded into conv weights")
+        if args.weight_file_t and args.quant_teacher:
+            if not args.fold_teacher_bn:
+                raise SystemExit("--quant_teacher requires --fold_teacher_bn")
+            # int8 PTQ of the frozen teacher: calibrate activation ranges on
+            # a few eval batches (same crop/normalization distribution as
+            # train, no loader threads to manage), then rebuild the teacher
+            # as the quant_mode="quant" model (utils/quant)
+            from kd6d_pose_adlp_tpu.utils.quant import quantize_posenet
+            calib = []
+            for b, _ in data.eval_batches():
+                calib.append(b.images)
+                if len(calib) >= args.quant_calib_batches:
+                    break
+            teacher_net, teacher_variables = quantize_posenet(
+                cfg_t.model, cfg.data.n_fg, teacher_variables, calib)
+            cfg_t = cfg_t.replace(model=dataclasses.replace(
+                cfg_t.model, quant_mode="quant"))
+            print(f"teacher: int8-quantized ({len(calib)} calib batches)")
 
     net = PoseNet(cfg=cfg.model, n_fg=cfg.data.n_fg)
     forward = build_forward(cfg, net)
