@@ -133,3 +133,60 @@ def test_quant_requires_folded():
     with pytest.raises(AssertionError):
         ConvBNAct(4, folded=False, quant_mode="quant").init(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+
+
+def test_kd_train_step_with_int8_teacher():
+    """The `train_kd.py --quant_teacher` composition: an int8-quantized
+    teacher must drive the real KD train step (teacher forward -> voting ->
+    OT loss -> student update) with finite losses and a KD term close to
+    the BN-folded float teacher's on the same state/batch."""
+    from kd6d_pose_adlp_tpu.config import (Config, KDConfig, ModelConfig,
+                                           SolverConfig, TestConfig)
+    from kd6d_pose_adlp_tpu.data.synthetic import SyntheticPoseDataset
+    from kd6d_pose_adlp_tpu.engine.steps import (build_train_step,
+                                                 create_train_state,
+                                                 make_optimizer)
+
+    res, n_fg = 64, 3
+    cfg = Config(model=ModelConfig(backbone="darknet_tiny_h", input_res=res),
+                 solver=SolverConfig(ims_per_batch=4, max_iter=50, max_objs=2,
+                                     max_pos=32),
+                 test=TestConfig(max_votes=16, ransac_iters=16),
+                 kd=KDConfig(weight=5.0, max_teacher_cells=16))
+    cfg_t = Config(model=ModelConfig(backbone="darknet_tiny", input_res=res,
+                                     bn_folded=True),
+                   solver=cfg.solver, test=cfg.test, kd=cfg.kd)
+    ds = SyntheticPoseDataset(n_fg=n_fg, input_res=res, max_objs=2,
+                              single_class=1, seed=7)
+    consts = ds.consts()
+    consts = consts._replace(kp3d=consts.kp3d[:n_fg],
+                             diameters=consts.diameters[:n_fg])
+    batch = ds.batch(range(4), train=True)
+
+    tnet_f = PoseNet(cfg=cfg_t.model, n_fg=n_fg)
+    raw = PoseNet(cfg=dataclasses.replace(cfg_t.model, bn_folded=False),
+                  n_fg=n_fg).init(jax.random.PRNGKey(5),
+                                  jnp.zeros((1, res, res, 3)))
+    folded = fold_batchnorm(raw)
+    tnet_q, tvars_q = quantize_posenet(cfg_t.model, n_fg, folded,
+                                       [batch.images])
+    cfg_tq = cfg_t.replace(model=dataclasses.replace(cfg_t.model,
+                                                     quant_mode="quant"))
+
+    net = PoseNet(cfg=cfg.model, n_fg=n_fg)
+    opt = make_optimizer(cfg)
+    metrics = {}
+    for tag, (c_t, tn, tv) in {"folded": (cfg_t, tnet_f, folded),
+                               "int8": (cfg_tq, tnet_q, tvars_q)}.items():
+        state = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
+        step = jax.jit(build_train_step(cfg, c_t, consts, net, tn, opt,
+                                        distill=True))
+        _, m = step(state, tv, batch, jax.random.PRNGKey(2))
+        metrics[tag] = {k: float(v) for k, v in jax.device_get(m).items()}
+        assert all(np.isfinite(v) for v in metrics[tag].values()), metrics[tag]
+    # the non-KD losses see the same student/batch -> identical; the KD term
+    # differs only through the teacher's int8 rounding
+    np.testing.assert_allclose(metrics["int8"]["loss_cls"],
+                               metrics["folded"]["loss_cls"], rtol=1e-5)
+    assert (abs(metrics["int8"]["loss_kd"] - metrics["folded"]["loss_kd"])
+            <= 0.25 * abs(metrics["folded"]["loss_kd"]) + 1e-3), metrics
