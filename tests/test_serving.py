@@ -87,6 +87,45 @@ def test_serving_respects_invalid_class(artifact):
 
 
 @pytest.mark.slow
+def test_quant_export_roundtrip(setup, tmp_path):
+    """The int8 PTQ artifact (export_model.py --fold_bn --quant): the
+    exported StableHLO must reproduce the in-process quantized net exactly,
+    and the int8 weights must shrink the artifact materially vs float
+    (measured 9.5 -> 3.7 MB on the production res-256 export)."""
+    import dataclasses
+
+    from kd6d_pose_adlp_tpu.utils.fold_bn import fold_batchnorm
+    from kd6d_pose_adlp_tpu.utils.quant import quantize_posenet
+
+    cfg, consts, variables = setup
+    images, bt, ids = _example(2)
+
+    folded = fold_batchnorm(variables)
+    cfg_f = cfg.replace(model=dataclasses.replace(cfg.model, bn_folded=True))
+    net_q, qvars = quantize_posenet(cfg_f.model, cfg.data.n_fg, folded,
+                                    [jnp.asarray(images)])
+    cfg_q = cfg_f.replace(model=dataclasses.replace(cfg_f.model,
+                                                    quant_mode="quant"))
+
+    path_f = str(tmp_path / "float.hlo")
+    path_q = str(tmp_path / "int8.hlo")
+    meta_f = export_inference(cfg_f, consts, folded, path_f, batch_size=2,
+                              mode="single", platforms=("cpu",))
+    meta_q = export_inference(cfg_q, consts, qvars, path_q, batch_size=2,
+                              mode="single", platforms=("cpu",))
+    assert meta_q["bytes"] < 0.6 * meta_f["bytes"], (meta_q, meta_f)
+
+    direct = jax.jit(build_infer_fn(cfg_q, consts, qvars))
+    ref = jax.device_get(direct(jnp.asarray(images), jnp.asarray(bt),
+                                jnp.asarray(ids), jnp.asarray(3, jnp.uint32)))
+    serve, _ = load_serving(path_q)
+    got = jax.device_get(serve(images, bt, ids, seed=3))
+    for k in SINGLE_KEYS:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
 def test_export_multi_mode(setup, tmp_path):
     cfg, consts, variables = setup
     path = str(tmp_path / "multi.hlo")
