@@ -39,6 +39,10 @@ def build_parser():
                          "(pretrained-init surrogate; head/FPN stay fresh)")
     ap.add_argument("--fold_teacher_bn", type=int, default=1,
                     help="fold the frozen teacher's BN into conv weights")
+    ap.add_argument("--quant_teacher", type=int, default=0,
+                    help="int8-quantize the frozen teacher (PTQ, utils/quant; "
+                         "requires --fold_teacher_bn). Mirrors train_kd.py "
+                         "--quant_teacher for the synthetic A/B suites")
     ap.add_argument("--classes", type=str, default="",
                     help="train-class subset, e.g. '1-14' or '1,2,5'; empty "
                          "= LINEMOD-style single class 0")
@@ -213,6 +217,21 @@ def run(args):
                   flush=True)
             if t_cache is not None:
                 t_cache[t_key] = teacher_variables
+        if args.quant_teacher:
+            # PTQ after folding (cache holds the folded float variables, so
+            # sequential suite arms re-quantize in ~10 s instead of re-loading)
+            if not args.fold_teacher_bn:
+                raise SystemExit("--quant_teacher requires --fold_teacher_bn")
+            from kd6d_pose_adlp_tpu.utils.quant import quantize_posenet
+            calib = [ds.batch(range(1000 + b * args.batch_size,
+                                    1000 + (b + 1) * args.batch_size),
+                              train=True).images for b in range(2)]
+            _, teacher_variables = quantize_posenet(
+                cfg_t.model, cfg.data.n_fg, teacher_variables, calib)
+            teacher_variables = jax.device_put(teacher_variables)
+            cfg_t = cfg_t.replace(model=dataclasses.replace(
+                cfg_t.model, quant_mode="quant"))
+            print("teacher: int8-quantized (2 calib batches)", flush=True)
 
     results = {}
 
