@@ -105,6 +105,40 @@ def main(path="results/pretrain_suite2.json"):
             print(f"\n{name}: final ADI.10d {f['ADI.10d']}"
                   + (f", rescore384 ADI.10d {r['ADI.10d']}" if r else ""))
 
+    # int8-teacher arms (chain 2, results/quant_s192_ab.json): paired
+    # per-seed int8-vs-folded deltas on the 384-scene rescore — does PTQ
+    # preserve the end-to-end KD outcome where the effect lives?
+    import os
+    qpath = os.path.join(os.path.dirname(path), "quant_s192_ab.json")
+    if os.path.exists(qpath):
+        q = json.load(open(qpath))
+        pr = []
+        s = 0
+        while True:
+            fold = d.get(f"rescore384_pt_s192_kd1_s{s}")
+            int8 = q.get(f"rescore384_pt_s192_kd1q_s{s}")
+            if fold is None or int8 is None:
+                break
+            pr.append((s, fold, int8))
+            s += 1
+        if pr:
+            print(f"\n== s192 kd1: int8 teacher vs BN-folded teacher "
+                  f"({len(pr)} paired seeds, 384-scene rescore) ==")
+            metrics = tuple(m for m in METRICS_RESCORE if m in pr[0][1])
+            agg = defaultdict(list)
+            for s, f8, i8 in pr:
+                row = f"  {s:4d} "
+                for m in metrics:
+                    delta = i8[m] - f8[m]
+                    agg[m].append(delta)
+                    row += f"  {f8[m]:6.2f}->{i8[m]:6.2f} {delta:+6.2f}"
+                print(row)
+            summary = "  mean "
+            for m in metrics:
+                mu, sd, sem = fmt_stats(agg[m])
+                summary += f"  {mu:+6.2f} (sd {sd:5.2f}, sem {sem:4.2f})"
+            print(summary)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
