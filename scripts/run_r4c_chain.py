@@ -12,8 +12,8 @@ Phases:
      attainable p to 0.0078 if the direction holds (and honestly report
      any flip).
   2. int8-teacher s192 arms — pt_s192_kd1 re-run with --quant_teacher for
-     seeds 0-4 (same pools, same scratch teacher, same seeds as the
-     recorded BN-folded arms): does PTQ preserve the KD effect end-to-end
+     seeds 0-4 (same pools, same teacher, same seeds as the recorded
+     BN-folded arms): does PTQ preserve the KD effect end-to-end
      where it actually matters? Writes results/quant_s192_ab.json,
      rescored at 384 scenes for pairing against rescore384_pt_s192_kd1_s*.
 
@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 os.chdir(REPO)
 
 T0 = time.time()
-SCRATCH_TEACHER = "outputs/ab/teacher30k/final.ckpt"
+# the SAME teacher the recorded pt_s192_kd1_s* folded arms used (the v2
+# suite's best_teacher() resolved to the pretrained-init teacher because
+# the round-2 scratch checkpoint is no longer on disk — verified in
+# results/r4_chain.log run specs); pairing requires protocol identity
+TEACHER = "outputs/pretrain2/teacher30k_pt/final.ckpt"
 PRETRAIN_TINY = "outputs/pretrain2/tiny_h/final.ckpt"
 
 
@@ -130,7 +134,7 @@ def main():
                 ns.steps = 10000
                 ns.seed = s
                 ns.kd_weight = 1.0
-                ns.weight_file_t = SCRATCH_TEACHER
+                ns.weight_file_t = TEACHER
                 ns.quant_teacher = 1
                 ns.working_dir = wd
                 ns._pool_cache = pool_cache
