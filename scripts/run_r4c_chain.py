@@ -111,6 +111,14 @@ def main():
         sys.argv = ["run_pretrain_suite.py", "--seeds192", "8"]
         run_pretrain_suite.main()
 
+    def p_seeds512():
+        # widen the null-at-512 claim from 3 to 5 seed pairs (s192 stays at
+        # the wider --seeds192; already-done runs are skipped)
+        import run_pretrain_suite
+        sys.argv = ["run_pretrain_suite.py", "--seeds", "5",
+                    "--seeds192", "8"]
+        run_pretrain_suite.main()
+
     def p_quant_s192():
         import memguard
         import run_post_suite
@@ -159,6 +167,7 @@ def main():
     ok = {}
     ok["seeds"] = phase("s192 seed extension (5->8)", 55, p_seeds)
     ok["quant_s192"] = phase("int8-teacher s192 arms", 35, p_quant_s192)
+    ok["seeds512"] = phase("s512 seed extension (3->5)", 35, p_seeds512)
     print(f"\nR4C-CHAIN-DONE {ok} (wall {(time.time()-T0)/60:.0f} min)",
           flush=True)
 
