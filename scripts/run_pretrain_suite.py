@@ -70,7 +70,7 @@ def suite_specs(args):
         kd["cache_teacher"] = 1
     for b, tag in ((12, "s192"), (32, "s512"), (64, "rich")):
         if tag == "rich":
-            seeds = (0, 1)
+            seeds = range(max(2, args.seeds_rich))
         elif tag == "s192":
             seeds = range(max(args.seeds, args.seeds192))
         else:
@@ -103,6 +103,9 @@ def main():
                     help="extra seed count for the s192 arms only (the "
                          "reference-ape scale where the paper's claim "
                          "lives); effective count = max(seeds, seeds192)")
+    ap.add_argument("--seeds_rich", type=int, default=2,
+                    help="seed-pair count for the data-rich (1024-image) "
+                         "{base, kd1} arms")
     ap.add_argument("--eval_n", type=int, default=128)
     ap.add_argument("--rescore_n", type=int, default=384)
     ap.add_argument("--only", type=str, default="")
