@@ -119,6 +119,13 @@ def main():
                     "--seeds192", "8"]
         run_pretrain_suite.main()
 
+    def p_seeds_rich():
+        # widen the rich-regime (1024-image) pairs from 2 to 5
+        import run_pretrain_suite
+        sys.argv = ["run_pretrain_suite.py", "--seeds", "5",
+                    "--seeds192", "8", "--seeds_rich", "5"]
+        run_pretrain_suite.main()
+
     def p_quant_s192():
         import memguard
         import run_post_suite
@@ -168,6 +175,7 @@ def main():
     ok["seeds"] = phase("s192 seed extension (5->8)", 55, p_seeds)
     ok["quant_s192"] = phase("int8-teacher s192 arms", 35, p_quant_s192)
     ok["seeds512"] = phase("s512 seed extension (3->5)", 35, p_seeds512)
+    ok["seeds_rich"] = phase("rich seed extension (2->5)", 35, p_seeds_rich)
     print(f"\nR4C-CHAIN-DONE {ok} (wall {(time.time()-T0)/60:.0f} min)",
           flush=True)
 
