@@ -93,6 +93,12 @@ def main():
         ("C_s2d_bs64_cached", dict(backbone="darknet_tiny_h_s2d",
                                    batch_size=64, batches=16,
                                    cache_teacher=1)),
+        # D: push batch to 128 (same 1024-image pool volume). Cached teacher
+        # leaves only the student fwd/bwd on the step; bs128 fills the MXU
+        # further (BASELINE.md: "batch size is the remaining lever").
+        ("D_s2d_bs128_cached", dict(backbone="darknet_tiny_h_s2d",
+                                    batch_size=128, batches=8,
+                                    cache_teacher=1)),
     ]
     for name, spec in arms:
         if name in summary:
