@@ -35,7 +35,7 @@ def build_postprocess(cfg: Config, consts: TaskConsts):
     @jax.jit
     def predict(cls_logits, pred_reg, batch: Batch, rng):
         gt_cls = jnp.clip(batch.class_ids[:, 0], 0)
-        out = solve_class(gt_cls, cls_logits, pred_reg, batch, rng)
+        out = solve_class(gt_cls, cls_logits, pred_reg, batch.bbox_trans, rng)
         out["valid"] = out["valid"] & (batch.class_ids[:, 0] >= 0)
         return out
 
@@ -58,7 +58,7 @@ def build_postprocess_multi(cfg: Config, consts: TaskConsts, n_fg: int):
         def per_class(c_and_rng):
             c, key = c_and_rng
             out = solve_class(jnp.full((B,), c, jnp.int32), cls_logits,
-                              pred_reg, batch, key)
+                              pred_reg, batch.bbox_trans, key)
             return {k: out[k] for k in
                     ("R", "T", "score", "cls", "n_inliers", "valid")}
 
@@ -71,10 +71,13 @@ def build_postprocess_multi(cfg: Config, consts: TaskConsts, n_fg: int):
 
 
 def _make_class_solver(cfg: Config, consts: TaskConsts):
-    """Shared vote->RANSAC-EPnP(->LHM) pipeline for one class id per image."""
+    """Shared vote->RANSAC-EPnP(->LHM) pipeline for one class id per image.
+
+    Takes the (B, 2, 3) crop affines directly (not a full Batch) so the
+    scan evaluator (engine/eval_scan.py) can reuse it on stacked arrays."""
     m, t = cfg.model, cfg.test
 
-    def solve(gt_cls, cls_logits, pred_reg, batch: Batch, rng):
+    def solve(gt_cls, cls_logits, pred_reg, bbox_trans, rng):
         B = cls_logits.shape[0]
         scores = jax.nn.sigmoid(cls_logits)
         s = jnp.take_along_axis(scores, gt_cls[:, None, None], axis=2)[..., 0]
@@ -84,7 +87,7 @@ def _make_class_solver(cfg: Config, consts: TaskConsts):
             all_sizes=m.anchor_sizes, confidence_th=t.confidence_th,
             positive_num=cfg.solver.positive_num,
             positive_lambda=cfg.solver.positive_lambda, max_votes=t.max_votes)
-        kp_internal = votes_to_internal_frame(votes, batch.bbox_trans)  # (B,V,8,2)
+        kp_internal = votes_to_internal_frame(votes, bbox_trans)  # (B,V,8,2)
 
         corners = consts.kp3d[gt_cls]                                   # (B,8,3)
         V = kp_internal.shape[1]

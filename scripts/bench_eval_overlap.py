@@ -99,6 +99,30 @@ def main():
     res["speedup"] = round(res["overlap_img_s"] / max(res["serial_img_s"], 1e-9), 3)
     res["speedup_staged"] = round(
         res["staged_img_s"] / max(res["serial_img_s"], 1e-9), 3)
+
+    # scan arms (engine/eval_scan): one-dispatch eval + device metrics.
+    # "cold" includes prepare (stack + upload of the whole eval set);
+    # "steady" is a subsequent run on the staged set — the number that
+    # matters at VAL_FREQ during training, where the set stays resident.
+    from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+    t0 = time.time()
+    sev = ScanEvaluator(cfg, data.consts, net, data.meshes)
+    sev.prepare(iter(batches))
+    sev.run(variables, verbose=False)   # includes compile
+    res["scan_cold_s"] = round(time.time() - t0, 3)
+    ts = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        sev.run(variables, verbose=False)
+        ts.append(time.time() - t0)
+    best = min(ts)
+    res["scan_steady_s"] = round(best, 3)
+    res["scan_img_s"] = round(n_imgs / best, 1)
+    res["speedup_scan"] = round(
+        res["scan_img_s"] / max(res["serial_img_s"], 1e-9), 3)
+    print(f"scan: cold {res['scan_cold_s']}s (incl. compile+upload), steady "
+          f"{best:.3f}s = {n_imgs / best:.1f} img/s "
+          f"(all reps {[round(t, 3) for t in ts]})", flush=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)

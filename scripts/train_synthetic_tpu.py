@@ -54,6 +54,17 @@ def build_parser():
                     help="rematerialize the student forward in the backward "
                          "(same gradients, ~no stored activations)")
     ap.add_argument("--wot_detach", type=int, default=0)
+    ap.add_argument("--teacher_class", type=str, default="gt",
+                    choices=["gt", "pred"],
+                    help="which class channel the teacher votes: 'gt' (cheap, "
+                         "single-object parity) or 'pred' (the reference "
+                         "postprocess_kd semantics — REQUIRED for honest "
+                         "multi-class KD; see KDConfig.teacher_class)")
+    ap.add_argument("--eval_mode", type=str, default="scan",
+                    choices=["scan", "stream"],
+                    help="scan = one-dispatch evaluator, eval set staged on "
+                         "device once (engine/eval_scan); stream = per-batch "
+                         "evaluator.valid")
     # KD ablation axes (reference arguments/argument_kd.py:37-49)
     ap.add_argument("--gtype", type=str, default="sinkhorn")
     ap.add_argument("--reach", type=float, default=0.5,
@@ -114,7 +125,8 @@ def run(args):
                     wot_detach=bool(args.wot_detach), gtype=args.gtype,
                     reach=args.reach if args.reach > 0 else None,
                     blur=args.blur, scaling=args.scaling,
-                    weighted_ot=bool(args.weighted_ot)),
+                    weighted_ot=bool(args.weighted_ot),
+                    teacher_class=args.teacher_class),
     )
     cfg_t = cfg.replace(model=ModelConfig(
         backbone=args.backbone_t, compute_dtype=dtype,
@@ -234,12 +246,21 @@ def run(args):
             print("teacher: int8-quantized (2 calib batches)", flush=True)
 
     results = {}
+    scan_eval_box = []  # lazily built+prepared once, reused per VAL_FREQ eval
 
     def eval_fn(state, step):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        res = evaluator.valid(cfg, consts, variables, forward, postprocess,
-                              eval_batches(), meshes, step=step,
-                              working_dir=args.working_dir)
+        if args.eval_mode == "scan":
+            from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+            if not scan_eval_box:
+                scan_eval_box.append(ScanEvaluator(cfg, consts, net, meshes)
+                                     .prepare(eval_batches()))
+            res = scan_eval_box[0].run(variables, step=step,
+                                       working_dir=args.working_dir)
+        else:
+            res = evaluator.valid(cfg, consts, variables, forward, postprocess,
+                                  eval_batches(), meshes, step=step,
+                                  working_dir=args.working_dir)
         def avg(group, key):
             vals = [a.get(key) for a in res[group] if a and key in a]
             return round(float(np.mean(vals)), 2) if vals else 0.0
@@ -250,7 +271,17 @@ def run(args):
             "REP05px": avg("rep_per_class", "REP05px"),
             "REP10px": avg("rep_per_class", "REP10px"),
             "REP20px": avg("rep_per_class", "REP20px"),
+            "AUC": avg("auc_per_class", "AUC    "),
         })
+        # per-class breakdown (multi-class runs publish the full table,
+        # reference libs/eval_libs.py:112-146 per-class scalars)
+        results["per_class"] = {
+            f"cls_{ci:02d}": {
+                "ADI.10d": acc.get("ADI.10d"),
+                "AUC": res["auc_per_class"][ci].get("AUC    "),
+                "REP05px": res["rep_per_class"][ci].get("REP05px"),
+            }
+            for ci, acc in enumerate(res["adi_per_class"]) if acc}
 
     train(cfg, consts, itertools.cycle(pool) if pool is not None else None,
           cfg_t=cfg_t if teacher_variables is not None else None,

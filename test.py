@@ -21,6 +21,11 @@ def main():
     p.add_argument("--data", type=str, default="bop", choices=["bop", "synthetic"])
     p.add_argument("--ims_per_batch", type=int, default=24)  # reference test.py:114
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--eval_mode", type=str, default="scan",
+                   choices=["scan", "stream"],
+                   help="scan = one-dispatch evaluator with device-side "
+                        "remap+metrics (engine/eval_scan); stream = "
+                        "per-batch evaluator.valid (the oracle path)")
     p.add_argument("--eval_all_classes", action="store_true",
                    help="also run detection-style eval over every class "
                         "(recovery rate / false positives / ADI rate)")
@@ -68,13 +73,20 @@ def main():
     variables, n = load_params_loose(args.weight_file, variables)
     print(f"loaded {n} tensors from {args.weight_file}")
 
-    forward = build_forward(cfg, net)
-    postprocess = build_postprocess(cfg, data.consts)
-    evaluator.valid(cfg, data.consts, variables, forward, postprocess,
-                    data.eval_batches(), data.meshes, step=0,
-                    working_dir=args.working_dir)
+    if args.eval_mode == "scan":
+        from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+        sev = ScanEvaluator(cfg, data.consts, net, data.meshes)
+        sev.prepare(data.eval_batches())
+        sev.run(variables, step=0, working_dir=args.working_dir)
+    else:
+        forward = build_forward(cfg, net)
+        postprocess = build_postprocess(cfg, data.consts)
+        evaluator.valid(cfg, data.consts, variables, forward, postprocess,
+                        data.eval_batches(), data.meshes, step=0,
+                        working_dir=args.working_dir)
     if args.eval_all_classes:
-        evaluator.detection_stats(cfg, data.consts, variables, forward,
+        evaluator.detection_stats(cfg, data.consts, variables,
+                                  build_forward(cfg, net),
                                   data.eval_batches(), n_fg=cfg.data.n_fg)
 
 

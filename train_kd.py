@@ -99,6 +99,12 @@ def get_argparser():
     p.add_argument("--quant_calib_batches", type=int, default=4,
                    help="eval batches used to calibrate teacher activation "
                         "ranges for --quant_teacher")
+    p.add_argument("--eval_mode", type=str, default="scan",
+                   choices=["scan", "stream"],
+                   help="scan = one-dispatch evaluator with device metrics "
+                        "(engine/eval_scan; eval set stays device-resident "
+                        "across VAL_FREQ evals); stream = per-batch "
+                        "evaluator.valid (the oracle path)")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--cpu", action="store_true",
@@ -225,23 +231,45 @@ def main():
         print(f"Model size: {count(s_params):d} params")
     del s_params
 
+    scan_eval = None
+    if args.eval_mode == "scan":
+        # one-dispatch evaluator (engine/eval_scan): the eval set is staged
+        # on device ONCE and reused by every VAL_FREQ eval and the teacher
+        # sanity gate — the streaming path re-builds and re-uploads it per
+        # call (~13 s of host pipeline per eval on this 1-core host)
+        from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+        scan_eval = ScanEvaluator(cfg, consts, net, data.meshes)
+        scan_eval.prepare(data.eval_batches())
+
     if distill and args.weight_file_t:
         # teacher sanity gate (reference train_kd.py:85-86)
         print("--- evaluate teacher ---")
-        t_forward = build_forward(cfg_t, teacher_net)
-        t_post = build_postprocess(cfg_t.replace(test=cfg.test), consts)
-        evaluator.valid(cfg, consts, teacher_variables, t_forward, t_post,
-                        data.eval_batches(), data.meshes, step=0,
-                        working_dir=args.working_dir)
+        if scan_eval is not None:
+            from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+            t_sev = ScanEvaluator(
+                dataclasses.replace(cfg_t, test=cfg.test, data=cfg.data),
+                consts, teacher_net, data.meshes)
+            t_sev.share_staged(scan_eval)
+            t_sev.run(teacher_variables, step=0, working_dir=args.working_dir)
+        else:
+            t_forward = build_forward(cfg_t, teacher_net)
+            t_post = build_postprocess(cfg_t.replace(test=cfg.test), consts)
+            evaluator.valid(cfg, consts, teacher_variables, t_forward, t_post,
+                            data.eval_batches(), data.meshes, step=0,
+                            working_dir=args.working_dir)
 
     from kd6d_pose_adlp_tpu.utils.logging_utils import ScalarLogger
     eval_logger = ScalarLogger(args.working_dir, filename="eval_scalars.jsonl")
 
     def eval_fn(state, step):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        evaluator.valid(cfg, consts, variables, forward, postprocess,
-                        data.eval_batches(), data.meshes, step=step,
-                        working_dir=args.working_dir, logger=eval_logger)
+        if scan_eval is not None:
+            scan_eval.run(variables, step=step, working_dir=args.working_dir,
+                          logger=eval_logger)
+        else:
+            evaluator.valid(cfg, consts, variables, forward, postprocess,
+                            data.eval_batches(), data.meshes, step=step,
+                            working_dir=args.working_dir, logger=eval_logger)
 
     pool, train_iter = None, None
     if args.device_pool > 0:
