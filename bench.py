@@ -176,7 +176,14 @@ def record_chip_capture(result: dict, last_chip_path: str,
         reasons.append(f"pure-device rate {dev} img/s is below the "
                        f"{MIN_TPU_IPS:.0f} img/s TPU plausibility floor")
     prev_val = float(prev.get("value") or 0.0) if prev else 0.0
-    if prev_val > 0.0 and val < MIN_FRACTION_OF_RECORD * prev_val:
+    # the relative-drop check only makes sense against a record measured at
+    # the same configuration: a legitimate run at a smaller BENCH_BATCH /
+    # BENCH_RES would otherwise be quarantined forever (advisor r4). Records
+    # predating the config fields were all taken at the (16, 256) defaults.
+    def _cfg(d):
+        return (d.get("batch_size", 16), d.get("input_res", 256))
+    if (prev_val > 0.0 and _cfg(prev or {}) == _cfg(result)
+            and val < MIN_FRACTION_OF_RECORD * prev_val):
         reasons.append(f"{val} img/s is under {MIN_FRACTION_OF_RECORD:.0%} "
                        f"of the stored record {prev_val} img/s")
 
@@ -282,6 +289,7 @@ def _measure(jax, platform: str) -> dict:
 
     # FLOP count of the compiled step for the V100-derived baseline; the AOT
     # lowering shares the jit cache, so this is the only compilation
+    t_compile0 = time.perf_counter()
     try:
         lowered = step_fn.lower(state, t_vars, batch, jax.random.PRNGKey(2))
         flops_per_step = float(lowered.compile().cost_analysis()["flops"])
@@ -299,6 +307,7 @@ def _measure(jax, platform: str) -> dict:
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, t_vars, batch, sub)
     jax.block_until_ready(metrics["loss_total"])
+    compile_wall_s = time.perf_counter() - t_compile0  # compile + 3 warmups
 
     n_steps = int(os.environ.get("BENCH_STEPS", "4" if on_cpu else "30"))
     t0 = time.perf_counter()
@@ -393,6 +402,15 @@ def _measure(jax, platform: str) -> dict:
         round(device_ips, 2) if device_ips is not None else None,
         "infer_images_per_sec": round(infer_ips, 2),
         "platform": platform,
+        "batch_size": batch_size,
+        "input_res": input_res,
+        # what a SHORT run of this exact program sustains once compile is
+        # included (VERDICT r4 weak #5: steady-state numbers hide fixed
+        # overhead — a 2,500-step suite run sustains a small fraction of the
+        # steady rate; see BASELINE.md "fixed-overhead disclosure")
+        "sustained_incl_compile_img_s": round(
+            batch_size * (3 + n_steps) / (compile_wall_s + dt), 2),
+        "compile_wall_s": round(compile_wall_s, 1),
         "teacher_bn_folded": fold_bn,
         "pallas": bool(pallas_tpu_ok()),
         "pallas_vs_jax_rel_diff": pallas_diff,

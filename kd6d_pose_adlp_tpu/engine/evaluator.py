@@ -106,7 +106,13 @@ def _host_key_splitter(rng):
             try:
                 return np.asarray(sub)  # old-style uint32 key
             except TypeError:
-                return sub  # typed key array: leave as-is
+                # typed key array: returning the CPU-committed key would
+                # raise a committed-device conflict inside the TPU-jitted
+                # consumer (advisor r4). Strip to raw key data on the host
+                # and re-wrap UNCOMMITTED so the jit can place it freely.
+                return jax.random.wrap_key_data(
+                    np.asarray(jax.random.key_data(sub)),
+                    impl=jax.random.key_impl(sub))
         return sub
 
     return next_key

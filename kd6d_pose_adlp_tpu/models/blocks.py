@@ -67,7 +67,13 @@ class QConv(nn.Module):
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale),
                           -127, 127).astype(jnp.int8)
             pad = self.padding
-            if pad == "SAME" and self.strides == 1:
+            if pad == "SAME":
+                # resolve to explicit SYMMETRIC padding at ANY stride:
+                # lax's string 'SAME' pads end-only when strides > 1, which
+                # would diverge from the torch-parity symmetric padding the
+                # float/calibrate path uses (advisor r4 — latent
+                # float-vs-int8 mismatch; callers currently pre-resolve
+                # stride-2 pads so this branch only sees strides == 1)
                 p = self.kernel_size // 2
                 pad = ((p, p), (p, p))
             elif pad == "VALID":

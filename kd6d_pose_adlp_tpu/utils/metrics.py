@@ -90,6 +90,14 @@ def compute_pose_diff_batch(mesh3ds: np.ndarray, K: np.ndarray,
     p2 = np.matmul(pts[None], predR.transpose(0, 2, 1)) + predT[:, None, :]
 
     if is_sym:
+        # Tie-break caveat (advisor r4): among EXACTLY equidistant mesh
+        # points, cKDTree / the d2-argmin fallback may pick a different
+        # match than the scalar oracle's norm-argmin. err_3d is unaffected
+        # (equal distances by definition); err_2d could differ only when
+        # two *distinct* points are exactly equidistant from a query —
+        # measure-zero for real meshes. Duplicate vertices (replace=True
+        # subsampling) are harmless: identical coordinates project
+        # identically whichever index wins.
         try:
             from scipy.spatial import cKDTree
         except ImportError:

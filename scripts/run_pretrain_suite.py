@@ -116,6 +116,14 @@ def main():
                          "short chip window — mixes protocol with "
                          "live-teacher arms already in the summary")
     ap.add_argument("--out", type=str, default="results/pretrain_suite2.json")
+    ap.add_argument("--until_ts", type=float, default=0.0,
+                    help="unix deadline: stop LAUNCHING runs/rescores past it")
+    ap.add_argument("--trust_summary", action="store_true",
+                    help="skip any run already in the summary json even if "
+                         "its checkpoint is gone (fresh-VM rounds wipe "
+                         "outputs/; the recorded metrics stay valid — only "
+                         "runs that downstream phases need as checkpoints "
+                         "should be re-run, via --only)")
     # smoke-test passthroughs
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch_size", type=int, default=16)
@@ -154,8 +162,12 @@ def main():
             rescore_list.append((name, wd + "final.ckpt", rb))
         if keep is not None and name not in keep:
             continue
-        if name in summary and os.path.exists(wd + "final.ckpt"):
+        if name in summary and (args.trust_summary or
+                                os.path.exists(wd + "final.ckpt")):
             print(f"=== {name}: already done, skipping ===", flush=True)
+            continue
+        if args.until_ts and time.time() > args.until_ts:
+            print(f"=== deadline passed; not launching {name} ===", flush=True)
             continue
         if spec.get("weight_file_t") == "__BEST_TEACHER__":
             spec["weight_file_t"] = best_teacher()
@@ -190,6 +202,10 @@ def main():
                 continue
             key = f"rescore384_{name}"
             if key in summary:
+                continue
+            if args.until_ts and time.time() > args.until_ts:
+                print(f"=== deadline passed; not rescoring {name} ===",
+                      flush=True)
                 continue
             summary[key] = rescore(ckpt, backbone)
             print(json.dumps({key: summary[key]}), flush=True)

@@ -55,6 +55,9 @@ def main():
                     help="unix deadline: stop LAUNCHING runs past it "
                          "(round-end discipline, VERDICT r3 next #1b)")
     ap.add_argument("--out", type=str, default="results/s2d_suite.json")
+    ap.add_argument("--trust_summary", action="store_true",
+                    help="skip runs already in the summary json even if the "
+                         "checkpoint is gone (fresh-VM rounds wipe outputs/)")
     ap.add_argument("--cpu_smoke", action="store_true")
     args = ap.parse_args()
 
@@ -97,7 +100,8 @@ def main():
     for name, spec in specs(teacher, args.seeds, args.kd_weight):
         wd = f"outputs/s2d/{name}/"
         rescore_list.append((name, wd + "final.ckpt", spec["backbone"]))
-        if name in summary and os.path.exists(wd + "final.ckpt"):
+        if name in summary and (args.trust_summary or
+                                os.path.exists(wd + "final.ckpt")):
             print(f"=== {name}: already done, skipping ===", flush=True)
             continue
         if args.until_ts and time.time() > args.until_ts:

@@ -20,13 +20,13 @@
 # r3 supervisor grepped a stale marker after a chain rename).
 UNTIL_TS=${1:?usage: watch_tunnel.sh <until_unix_ts>}
 cd /root/repo
-CHAIN=r4_chain
+CHAIN=r5_chain
 LOG=results/${CHAIN}.log
 PIDF=/tmp/${CHAIN}.pid
-DONE_MARKER="R4-CHAIN-DONE"
+DONE_MARKER="R5-CHAIN-DONE"
 launch_chain() {
     local left_min=$(( ($UNTIL_TS - $(date +%s)) / 60 ))
-    nohup python scripts/run_r4_chain.py --until_min "$left_min" \
+    nohup python scripts/run_r5_chain.py --until_min "$left_min" \
         >> "$LOG" 2>&1 &
     echo $! > "$PIDF"
 }
