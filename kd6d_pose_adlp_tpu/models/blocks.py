@@ -22,6 +22,16 @@ def leaky_relu(x, alpha: float = 0.1):
     return nn.leaky_relu(x, negative_slope=alpha)
 
 
+# BN statistics accumulation dtype knob (VERDICT r4 next #5a). True = f32
+# accumulation from bf16 activations (flax force_float32_reductions; the
+# numerically safe default). scripts/bench_bn_stats.py flips this to False
+# to measure what the remaining bf16->f32 convert+reduce around the BN
+# statistics (~2.3 ms of the 15.5 ms KD step, BASELINE.md profile) actually
+# costs — bf16-accumulated means over ~1M-element feature maps lose
+# mantissa, so this is a measurement knob, not a production switch.
+BN_F32_STATS = True
+
+
 class QConv(nn.Module):
     """Post-training-quantized int8 convolution (TPU MXU runs int8 matmuls at
     2x the bf16 peak on v5e). Two modes, selected by `mode`:
@@ -171,6 +181,7 @@ class ConvBNAct(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            force_float32_reductions=BN_F32_STATS,
             name="bn",
         )(x)
         if self.use_act:

@@ -217,6 +217,68 @@ def pack_weights(k):
     return k.reshape(9, C, O).transpose(0, 2, 1)
 
 
+def pool2x2_flat(y, H: int, W: int):
+    """2x2/stride-2 max pool on a conv OUTPUT slab, staying channel-major.
+
+    y (B, O, H*(W+2)) from conv3x3_bn_act_flat -> (B, O, (H/2+2)*(W/2+2)+2),
+    the zero-padded INPUT slab for the next flat conv. The whole op is
+    reshapes + a windowed max in (B, C, H, W) layout — channels never move
+    between sublanes and lanes, so chaining stem -> pool -> s2 pays NO
+    NHWC<->flat transpose between the two kernels (VERDICT r4 next #5b:
+    the per-layer A/B showed boundary conversions eating the kernel win;
+    this is the conversion-free chaining that test targets). Forward-only
+    (reshape+max gradient splits ties — irrelevant for serving; see
+    models/blocks.max_pool_2x2 for why training must not use this)."""
+    B, O, _ = y.shape
+    v = y.reshape(B, O, H, W + 2)[:, :, :, :W]
+    v = v.reshape(B, O, H // 2, 2, W // 2, 2).max(axis=(3, 5))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    flat = vp.reshape(B, O, (H // 2 + 2) * (W // 2 + 2))
+    return jnp.pad(flat, ((0, 0), (0, 0), (0, 2)))
+
+
+def pool2x2_slab_to_nhwc(y, H: int, W: int):
+    """2x2/stride-2 max pool on a conv output slab, then convert to NHWC:
+    (B, O, H*(W+2)) -> (B, H/2, W/2, O). The single layout transpose of the
+    chained segment, paid at the SMALLEST map (post-pool)."""
+    B, O, _ = y.shape
+    v = y.reshape(B, O, H, W + 2)[:, :, :, :W]
+    v = v.reshape(B, O, H // 2, 2, W // 2, 2).max(axis=(3, 5))
+    return v.transpose(0, 2, 3, 1)
+
+
+def stem_s2_segment_flat(x, w1, sc1, bi1, w2, sc2, bi2, *,
+                         alpha: float = 0.1, interpret: bool = False,
+                         stacked: bool = False):
+    """The serving-stem segment — stem conv -> pool -> s2 conv -> pool —
+    entirely in flat/channel-major layout, with ONE cheap transpose in
+    (C=3 image) and ONE out (post-pool at H/4).
+
+    x  (B, H, W, 3) NHWC image crop
+    w1 (9, O1, 3), sc1/bi1 (O1, 1): packed stem weights + folded affine
+    w2 (9, O2, O1), sc2/bi2 (O2, 1): packed s2 weights + folded affine
+    -> (B, H/4, W/4, O2) NHWC, bit-comparable to
+       pool(conv(pool(conv(x)))) with conv3x3_bn_act_ref semantics.
+    """
+    B, H, W, C = x.shape
+    xf = nhwc_to_flat(x)
+    if stacked:
+        y1 = conv3x3_bn_act_stacked(stack_taps(xf, H, W), w1, sc1, bi1,
+                                    alpha=alpha, interpret=interpret)
+    else:
+        y1 = conv3x3_bn_act_flat(xf, w1, sc1, bi1, H=H, W=W, alpha=alpha,
+                                 interpret=interpret)
+    x2 = pool2x2_flat(y1, H, W)
+    H2, W2 = H // 2, W // 2
+    if stacked:
+        y2 = conv3x3_bn_act_stacked(stack_taps(x2, H2, W2), w2, sc2, bi2,
+                                    alpha=alpha, interpret=interpret)
+    else:
+        y2 = conv3x3_bn_act_flat(x2, w2, sc2, bi2, H=H2, W=W2, alpha=alpha,
+                                 interpret=interpret)
+    return pool2x2_slab_to_nhwc(y2, H2, W2)
+
+
 def conv3x3_bn_act_ref(x, k, scale, bias, alpha: float = 0.1):
     """Plain-XLA oracle with identical semantics (NHWC in/out)."""
     y = jax.lax.conv_general_dilated(

@@ -146,6 +146,65 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
 
+    # --- chained serving segment (VERDICT r4 next #5b): stem -> pool ->
+    # s2 -> pool entirely in flat/channel-major layout (ONE transpose in at
+    # C=3, ONE out at H/4) vs the same segment in plain XLA NHWC. This is
+    # the conversion-free chaining the per-layer table above cannot see —
+    # the bankability test for a serving-only Pallas stem.
+    from kd6d_pose_adlp_tpu.ops.conv_pallas import stem_s2_segment_flat
+
+    H = 16 if args.cpu_smoke else 256
+    O1, O2 = 8, 16  # tiny_h stem/s2 widths
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (B, H, H, 3), jnp.bfloat16)
+    kw1 = (jax.random.normal(k2, (3, 3, 3, O1)) * 0.1).astype(jnp.bfloat16)
+    kw2 = (jax.random.normal(k3, (3, 3, O1, O2)) * 0.1).astype(jnp.bfloat16)
+    sc1 = jnp.ones((O1,), jnp.float32)
+    bi1 = jnp.zeros((O1,), jnp.float32)
+    sc2 = jnp.ones((O2,), jnp.float32)
+    bi2 = jnp.zeros((O2,), jnp.float32)
+    w1p, w2p = pack_weights(kw1), pack_weights(kw2)
+    s1c, b1c = sc1.reshape(-1, 1), bi1.reshape(-1, 1)
+    s2c, b2c = sc2.reshape(-1, 1), bi2.reshape(-1, 1)
+
+    def pool_nhwc(v):
+        return jax.lax.reduce_window(
+            v, -jnp.inf if v.dtype == jnp.float32 else jnp.finfo(v.dtype).min,
+            jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def seg_xla(c):
+        y = conv3x3_bn_act_ref(c, kw1, sc1, bi1)
+        y = pool_nhwc(y)
+        y = conv3x3_bn_act_ref(y, kw2, sc2, bi2)
+        return pool_nhwc(y)
+
+    def seg_pallas(c, stacked=False):
+        return stem_s2_segment_flat(c, w1p, s1c, b1c, w2p, s2c, b2c,
+                                    interpret=interpret, stacked=stacked)
+
+    ref32 = seg_xla(x).astype(jnp.float32)
+    refmax = float(jnp.abs(ref32).max()) + 1e-9
+    rel_seg = float(jnp.abs(seg_pallas(x).astype(jnp.float32) - ref32).max()
+                    / refmax)
+    rel_seg_st = float(jnp.abs(
+        seg_pallas(x, stacked=True).astype(jnp.float32) - ref32).max()
+        / refmax)
+    # the segment changes spatial dims H -> H/4, so the shape-preserving
+    # chained() carry trick works on the INPUT with a scalar bump
+    r = {"rel_err_vs_xla": round(rel_seg, 6),
+         "rel_err_stacked": round(rel_seg_st, 6)}
+    r["xla_ms"] = round(1e3 * timeit(chained(seg_xla, x, K)) / K, 4)
+    r["pallas_flat_ms"] = round(
+        1e3 * timeit(chained(seg_pallas, x, K)) / K, 4)
+    r["pallas_stack_ms"] = round(1e3 * timeit(chained(
+        lambda c: seg_pallas(c, stacked=True), x, K)) / K, 4)
+    r["speedup_flat"] = round(r["xla_ms"] / r["pallas_flat_ms"], 3)
+    r["speedup_stack"] = round(r["xla_ms"] / r["pallas_stack_ms"], 3)
+    results["segment_stem_s2"] = r
+    print(json.dumps({"segment_stem_s2": r}), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+
     print("CONV-PALLAS-AB-DONE", flush=True)
 
 

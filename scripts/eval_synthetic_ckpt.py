@@ -25,6 +25,13 @@ def main():
                     help="first eval scene index (score disjoint ranges)")
     ap.add_argument("--input_res", type=int, default=256)
     ap.add_argument("--working_dir", type=str, default="outputs/eval_ckpt/")
+    ap.add_argument("--classes", type=str, default="",
+                    help="eval-class subset like train_synthetic_tpu "
+                         "--classes ('0-14', '1,2'); empty = single class 0")
+    ap.add_argument("--eval_mode", type=str, default="stream",
+                    choices=["stream", "scan"],
+                    help="stream = evaluator.valid (the host oracle path); "
+                         "scan = engine/eval_scan one-dispatch evaluator")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -48,9 +55,17 @@ def main():
     dtype = "bfloat16" if not args.cpu else "float32"
     cfg = Config(model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
                                    input_res=args.input_res))
+    classes = None
+    if args.classes:
+        if "-" in args.classes and "," not in args.classes:
+            lo, hi = args.classes.split("-")
+            classes = tuple(range(int(lo), int(hi) + 1))
+        else:
+            classes = tuple(int(c) for c in args.classes.split(","))
     ds = SyntheticPoseDataset(n_fg=cfg.data.n_fg, input_res=args.input_res,
-                              max_objs=cfg.solver.max_objs, single_class=0,
-                              seed=0)
+                              max_objs=cfg.solver.max_objs,
+                              single_class=None if classes else 0,
+                              classes=classes, seed=0)
     consts = ds.consts()
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, mesh_diameters=tuple(np.asarray(consts.diameters))))
@@ -78,9 +93,14 @@ def main():
     variables, n = load_params_loose(args.ckpt, init)
     print(f"loaded {n} tensors from {args.ckpt}", flush=True)
 
-    res = evaluator.valid(cfg, consts, variables, forward, postprocess,
-                          eval_batches(), meshes, step=0,
-                          working_dir=args.working_dir)
+    if args.eval_mode == "scan":
+        from kd6d_pose_adlp_tpu.engine.eval_scan import ScanEvaluator
+        sev = ScanEvaluator(cfg, consts, net, meshes).prepare(eval_batches())
+        res = sev.run(variables, step=0, working_dir=args.working_dir)
+    else:
+        res = evaluator.valid(cfg, consts, variables, forward, postprocess,
+                              eval_batches(), meshes, step=0,
+                              working_dir=args.working_dir)
 
     def avg(group, key):
         vals = [a.get(key) for a in res[group] if a and key in a]

@@ -39,19 +39,30 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 os.chdir(REPO)
 
-TEACHER_WD = "outputs/multiclass/mc_teacher30k/"
-
-
 def specs(args):
-    out = [("mc_teacher30k", dict(backbone="darknet53",
-                                  steps=args.teacher_steps,
-                                  working_dir=TEACHER_WD))]
+    p = args.prefix
+    teacher_wd = f"outputs/multiclass/{p}mc_teacher30k/"
+    tspec = dict(backbone="darknet53", steps=args.teacher_steps,
+                 working_dir=teacher_wd)
+    sspec = {}
+    if args.teacher_init:
+        # v2 protocol: warm-start from the classes-1-14 pretext backbone
+        # (run_pretrain_suite pretrain_dn53) — the round-5 v1 run showed
+        # 15-class-from-scratch at 30k steps plateaus at reg ~3.6 and
+        # near-zero eval (results/multiclass_suite.json); round-4's pretexts
+        # needed 60k steps to reach reg ~0.9 / ADI 19-39 on 14 classes.
+        tspec["backbone_init"] = args.teacher_init
+    if args.student_init:
+        sspec["backbone_init"] = args.student_init
+    out = [(f"{p}mc_teacher30k", tspec)]
     kd = dict(kd_weight=5.0, backbone_t="darknet53",
-              weight_file_t=TEACHER_WD + "final.ckpt")
+              weight_file_t=teacher_wd + "final.ckpt")
     for s in range(args.seeds):
-        out.append((f"mc_base_s{s}", dict(seed=s)))
-        out.append((f"mc_kd5_s{s}", dict(seed=s, teacher_class="pred", **kd)))
-    out.append(("mc_kd5gt_s0", dict(seed=0, teacher_class="gt", **kd)))
+        out.append((f"{p}mc_base_s{s}", dict(seed=s, **sspec)))
+        out.append((f"{p}mc_kd5_s{s}",
+                    dict(seed=s, teacher_class="pred", **sspec, **kd)))
+    out.append((f"{p}mc_kd5gt_s0",
+                dict(seed=0, teacher_class="gt", **sspec, **kd)))
     return out
 
 
@@ -69,6 +80,15 @@ def main():
     ap.add_argument("--until_ts", type=float, default=0.0,
                     help="unix deadline: stop LAUNCHING runs past it")
     ap.add_argument("--out", type=str, default="results/multiclass_suite.json")
+    ap.add_argument("--prefix", type=str, default="",
+                    help="run-name prefix, e.g. 'v2_' for the pretext-init "
+                         "protocol (so v1/v2 coexist in summaries)")
+    ap.add_argument("--teacher_init", type=str, default="",
+                    help="backbone_init ckpt for the darknet53 teacher "
+                         "(outputs/pretrain2/darknet53/final.ckpt)")
+    ap.add_argument("--student_init", type=str, default="",
+                    help="backbone_init ckpt for the tiny_h students "
+                         "(outputs/pretrain2/tiny_h/final.ckpt)")
     ap.add_argument("--cpu_smoke", action="store_true")
     args = ap.parse_args()
 
@@ -100,7 +120,7 @@ def main():
     pool_cache, teacher_cache = {}, {}
     for name, spec in specs(args):
         wd = spec.get("working_dir", f"outputs/multiclass/{name}/")
-        if name in summary and (name != "mc_teacher30k"
+        if name in summary and (name != f"{args.prefix}mc_teacher30k"
                                 or os.path.exists(wd + "final.ckpt")):
             print(f"=== {name}: already done, skipping ===", flush=True)
             continue
@@ -113,7 +133,7 @@ def main():
         if args.cpu_smoke:
             if "backbone_t" in spec:
                 ns.backbone_t = "darknet_tiny"
-            if name == "mc_teacher30k":
+            if name == f"{args.prefix}mc_teacher30k":
                 ns.backbone = "darknet_tiny"
         ns.steps = spec.get("steps", args.steps)
         ns.working_dir = wd
@@ -144,8 +164,10 @@ def main():
                          for n in hdr[1:]]
             print("  " + "  ".join(f"{str(v):>14s}" for v in row), flush=True)
     for s in range(args.seeds):
-        b = summary.get(f"mc_base_s{s}", {}).get("final", {}).get("ADI.10d")
-        k = summary.get(f"mc_kd5_s{s}", {}).get("final", {}).get("ADI.10d")
+        b = summary.get(f"{args.prefix}mc_base_s{s}",
+                        {}).get("final", {}).get("ADI.10d")
+        k = summary.get(f"{args.prefix}mc_kd5_s{s}",
+                        {}).get("final", {}).get("ADI.10d")
         if b is not None and k is not None:
             print(f"seed {s}: kd5(pred) - base ADI.10d = {k - b:+.2f} "
                   f"({k} vs {b})", flush=True)

@@ -113,8 +113,13 @@ def main():
         bench_eval_overlap.main()
 
     def p_prereqs():
+        # NO --trust_summary here: these three runs are re-trained precisely
+        # because their CHECKPOINTS are needed downstream even though their
+        # metrics are already in the summary (the 05:14 run of this chain
+        # passed it and the phase no-op'd — s192_ext then failed on the
+        # missing pretext ckpt; run_r5b_chain.py is the recovery)
         import run_pretrain_suite
-        sys.argv = ["run_pretrain_suite.py", "--trust_summary",
+        sys.argv = ["run_pretrain_suite.py",
                     "--only", "pretrain_tiny,pretrain_dn53,teacher30k_pt",
                     "--skip_rescore", "--until_ts", str(deadline)]
         run_pretrain_suite.main()

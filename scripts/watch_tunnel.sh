@@ -18,15 +18,16 @@
 # Never kills by pattern; only the PID it started ($PIDF). The chain name,
 # command, log, and DONE marker live in ONE place below (advisor r3: the
 # r3 supervisor grepped a stale marker after a chain rename).
-UNTIL_TS=${1:?usage: watch_tunnel.sh <until_unix_ts>}
+UNTIL_TS=${1:?usage: watch_tunnel.sh <until_unix_ts> [chain]}
 cd /root/repo
-CHAIN=r5_chain
+CHAIN=${2:-r5_chain}
 LOG=results/${CHAIN}.log
 PIDF=/tmp/${CHAIN}.pid
-DONE_MARKER="R5-CHAIN-DONE"
+# r5_chain -> R5-CHAIN-DONE, r5b_chain -> R5B-CHAIN-DONE
+DONE_MARKER="$(echo "${CHAIN%_chain}" | tr a-z A-Z)-CHAIN-DONE"
 launch_chain() {
     local left_min=$(( ($UNTIL_TS - $(date +%s)) / 60 ))
-    nohup python scripts/run_r5_chain.py --until_min "$left_min" \
+    nohup python scripts/run_${CHAIN}.py --until_min "$left_min" \
         >> "$LOG" 2>&1 &
     echo $! > "$PIDF"
 }

@@ -27,3 +27,17 @@ def test_two_process_eval_merge():
         capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
     assert "PASS: 2-process jax.distributed eval merged" in r.stdout
+
+
+@pytest.mark.slow
+def test_two_process_eval_merge_production_shapes():
+    """VERDICT r4 next #4: the multi-device eval path at PRODUCTION shapes
+    (256² crops, 15 classes, default vote/RANSAC caps), including
+    cross-rank metric-table equality after the gather."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "smoke_distributed.py"),
+         "--production"],
+        cwd=REPO, env=dict(os.environ, KD6D_CPU="1"),
+        capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
+    assert "(production shapes)" in r.stdout
