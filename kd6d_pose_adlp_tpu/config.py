@@ -101,6 +101,12 @@ class ModelConfig:
     # ranges, "quant" = int8 convs from the 'quant' collection built by
     # utils/quant.quantize_variables (v5e MXU int8 peak is 2x bf16)
     quant_mode: str = ""
+    # ZebraPose-style dense binary-code head (BASELINE.json configs[5],
+    # stretch): 0 = off (the reference's 8-corner keypoint head only);
+    # >0 adds a per-cell (code_bits + 2)-channel-per-class output on the
+    # pose tower regressing the hierarchical surface code + the 2D offset
+    # of the corresponded surface point (ops/binary_code, engine/zebra)
+    code_bits: int = 0
 
     @property
     def feat_channels(self) -> Tuple[int, ...]:
@@ -176,6 +182,11 @@ class SolverConfig:
     max_objs: int = 8       # max object instances per image
     max_pos: int = 64       # max SSC positive cells per image (sum nk <= ~40)
     seed: int = 0
+    # dense binary-code losses (engine/zebra; only read when
+    # model.code_bits > 0): BCE on the surface code + SmoothL1 on the
+    # corresponded point's 2D offset, per positive cell
+    loss_weight_code: float = 1.0
+    loss_weight_code_off: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,8 +83,19 @@ class SyntheticPoseDataset:
             self.kp3d.max(1) - self.kp3d.min(1), axis=1).astype(np.float32)
         self.K = _INTERNAL_K
 
-    def consts(self) -> TaskConsts:
-        return TaskConsts.create(self.K, self.kp3d, self.diameters)
+    def consts(self, code_bits: int = 0, verts_per_axis: int = 6) -> TaskConsts:
+        """code_bits > 0 additionally builds the dense binary-code tables
+        (ops/binary_code): per class, a deterministic box-surface sample as
+        the vertex set plus its hierarchical codes — the synthetic stand-in
+        for a real mesh's vertex set (engine/zebra consumes these)."""
+        if code_bits <= 0:
+            return TaskConsts.create(self.K, self.kp3d, self.diameters)
+        from ..ops.binary_code import build_codes, sample_box_surface
+        verts = np.stack([sample_box_surface(self.kp3d[c], verts_per_axis)
+                          for c in range(self.n_fg)])              # (C,V,3)
+        codes = np.stack([build_codes(v, code_bits) for v in verts])
+        return TaskConsts.create(self.K, self.kp3d, self.diameters,
+                                 verts=verts, vert_codes=codes)
 
     def sample(self, index: int, train: bool = True):
         rng = np.random.default_rng((self.seed * 1_000_003 + index) & 0x7FFFFFFF)

@@ -24,6 +24,9 @@ class PoseHead(nn.Module):
     quant_mode: str = ""  # int8 PTQ for the TOWER convs (see blocks.QConv);
     # the output convs (cls_logits / pose_pred) stay float: negligible FLOPs,
     # prediction-precision-sensitive
+    code_bits: int = 0   # >0 adds a dense binary-code output on the pose
+    # tower: (code_bits + 2) channels per class — the hierarchical surface
+    # code logits + the corresponded point's 2D offset (engine/zebra)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,9 +54,11 @@ class PoseHead(nn.Module):
         cls_logits = conv(self.n_fg, "cls_logits",
                           binit=nn.initializers.constant(prior_bias))
         pose_pred = conv(self.n_fg * 16, "pose_pred")
+        code_pred = (conv(self.n_fg * (self.code_bits + 2), "code_pred")
+                     if self.code_bits > 0 else None)
         scales = self.param("scales", nn.initializers.ones, (self.n_levels,), jnp.float32)
 
-        logits, pose_reg = [], []
+        logits, pose_reg, codes = [], [], []
         for lvl, x in enumerate(feats):
             c = x
             for cv, gn in cls_tower:
@@ -63,4 +68,8 @@ class PoseHead(nn.Module):
                 p = nn.relu(gn(cv(p)))
             logits.append(cls_logits(c))
             pose_reg.append(pose_pred(p) * scales[lvl])
+            if code_pred is not None:
+                codes.append(code_pred(p))
+        if code_pred is not None:
+            return logits, pose_reg, codes
         return logits, pose_reg

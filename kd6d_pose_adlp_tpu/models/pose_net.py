@@ -66,11 +66,13 @@ class PoseNet(nn.Module):
                   dtype=dtype, name="fpn")
         pyramid = fpn(feats)
         assert len(pyramid) == self.cfg.num_levels
+        code_bits = getattr(self.cfg, "code_bits", 0)
         head = PoseHead(n_fg=self.n_fg, n_conv=self.cfg.n_conv, prior=self.cfg.prior,
                         n_levels=max(5, self.cfg.num_levels),
                         quant_mode=getattr(self.cfg, "quant_mode", ""),
-                        dtype=dtype, name="head")
-        logits, pose_reg = head(pyramid)
+                        code_bits=code_bits, dtype=dtype, name="head")
+        out = head(pyramid)
+        logits, pose_reg = out[0], out[1]
 
         B = images.shape[0]
         flat_cls = jnp.concatenate(
@@ -79,4 +81,10 @@ class PoseNet(nn.Module):
             [r.reshape(B, -1, self.n_fg * 16) for r in pose_reg], axis=1)
         assert flat_cls.shape[1] == self.cfg.num_cells, (
             flat_cls.shape, self.cfg.num_cells)
+        if code_bits > 0:
+            flat_code = jnp.concatenate(
+                [c.reshape(B, -1, self.n_fg * (code_bits + 2))
+                 for c in out[2]], axis=1)
+            return (flat_cls.astype(jnp.float32), flat_reg.astype(jnp.float32),
+                    flat_code.astype(jnp.float32))
         return flat_cls.astype(jnp.float32), flat_reg.astype(jnp.float32)
