@@ -152,6 +152,47 @@ def test_zebra_train_step_and_postprocess():
     assert np.abs(RtR - np.eye(3)).max() < 1e-3
 
 
+def test_zebra_postprocess_oracle_roundtrip():
+    """Feeding PERFECT per-cell predictions (GT codes as saturated logits,
+    GT offsets, GT-class scores) through the dense postprocess must recover
+    the GT pose — separates 'undertrained network' from 'broken decode/PnP'
+    when a training run scores at the floor."""
+    from kd6d_pose_adlp_tpu.engine.zebra import (build_zebra_postprocess,
+                                                 zebra_targets)
+
+    cfg = _cfg()
+    n_fg, n_bits = cfg.data.n_fg, cfg.model.code_bits
+    ds = SyntheticPoseDataset(n_fg=n_fg, input_res=cfg.model.input_res,
+                              max_objs=cfg.solver.max_objs, single_class=0,
+                              seed=0)
+    consts = ds.consts(code_bits=n_bits)
+    batch = ds.batch(range(2), train=False)
+    tgt = jax.device_get(zebra_targets(jax.random.PRNGKey(0), batch, consts,
+                                       cfg))
+    assert (tgt.s_valid.sum(1) >= 6).all(), "need >=6 positives for PnP"
+
+    B, A = tgt.labels.shape
+    cls_logits = np.full((B, A, n_fg), -10.0, np.float32)
+    code_pred = np.zeros((B, A, n_fg * (n_bits + 2)), np.float32)
+    for b in range(B):
+        for p in np.flatnonzero(tgt.s_valid[b]):
+            a, c = int(tgt.sidx[b, p]), int(tgt.cls_idx[b, p])
+            cls_logits[b, a, c] = 10.0
+            base = c * (n_bits + 2)
+            code_pred[b, a, base:base + n_bits] = (
+                2.0 * tgt.code_tgt[b, p] - 1.0) * 10.0
+            code_pred[b, a, base + n_bits:base + n_bits + 2] = tgt.off_tgt[b, p]
+
+    post = build_zebra_postprocess(cfg, consts, n_fg)
+    out = jax.device_get(post(jnp.asarray(cls_logits), jnp.asarray(code_pred),
+                              batch, jax.random.PRNGKey(3)))
+    for b in range(B):
+        gtR = np.asarray(batch.rotations)[b, 0]
+        gtT = np.asarray(batch.translations)[b, 0]
+        assert np.abs(out["R"][b] - gtR).max() < 0.02, (b, out["R"][b], gtR)
+        assert np.abs(out["T"][b] - gtT).max() < 5.0, (b, out["T"][b], gtT)
+
+
 def test_zebra_dense_kd_step():
     """Distillation arm: a frozen zebra teacher's code probabilities feed
     the soft-BCE term; loss_kd must be finite and nonzero when the teacher
