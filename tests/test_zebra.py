@@ -193,6 +193,50 @@ def test_zebra_postprocess_oracle_roundtrip():
         assert np.abs(out["T"][b] - gtT).max() < 5.0, (b, out["T"][b], gtT)
 
 
+def test_zebra_multi_step_matches_single_steps():
+    """The pool-scan multi-step (K steps per dispatch) must produce the
+    same parameters as K sequential single steps with the same key
+    schedule — the same data-path equivalence pinned for the corner
+    pipeline's engine/steps.build_multi_step."""
+    from kd6d_pose_adlp_tpu.engine.steps import (create_train_state,
+                                                 make_optimizer)
+    from kd6d_pose_adlp_tpu.engine.zebra import (build_zebra_multi_step,
+                                                 build_zebra_train_step)
+    from kd6d_pose_adlp_tpu.models.pose_net import PoseNet
+
+    cfg = _cfg()
+    n_fg = cfg.data.n_fg
+    ds = SyntheticPoseDataset(n_fg=n_fg, input_res=cfg.model.input_res,
+                              max_objs=cfg.solver.max_objs, single_class=0,
+                              seed=0)
+    consts = ds.consts(code_bits=cfg.model.code_bits)
+    host = [ds.batch(range(2 * b, 2 * b + 2), train=True) for b in range(2)]
+    pool = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *host)
+
+    net = PoseNet(cfg=cfg.model, n_fg=n_fg)
+    opt = make_optimizer(cfg)
+    state0 = create_train_state(jax.random.PRNGKey(0), cfg, net, opt)
+    rng0 = jax.random.PRNGKey(5)
+
+    multi = jax.jit(build_zebra_multi_step(cfg, consts, net, None, opt, n_fg,
+                                           pool_size=2), static_argnums=(5,))
+    m_state, _, _ = multi(state0, None, pool, rng0,
+                          jnp.asarray(0, jnp.int32), 2)
+
+    step = jax.jit(build_zebra_train_step(cfg, consts, net, None, opt, n_fg))
+    s_state, key = state0, rng0
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        batch = jax.tree_util.tree_map(lambda x: x[i], pool)
+        s_state, _ = step(s_state, None, batch, sub)
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        m_state.params, s_state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5, diffs
+
+
 def test_zebra_dense_kd_step():
     """Distillation arm: a frozen zebra teacher's code probabilities feed
     the soft-BCE term; loss_kd must be finite and nonzero when the teacher
