@@ -31,6 +31,13 @@ import time
 def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--schedule_steps", type=int, default=0,
+                    help="OneCycle length (default: --steps). The schedule "
+                         "length is baked into the compiled program as "
+                         "constants, so reusing one value across runs of "
+                         "different --steps hits the compilation cache "
+                         "(the 10k run on 2026-08-20 spent >24 min in a "
+                         "fresh remote compile for exactly this reason)")
     ap.add_argument("--batches", type=int, default=64)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--working_dir", type=str, default="outputs/zebra/")
@@ -90,7 +97,8 @@ def run(args):
     cfg = Config(
         model=ModelConfig(backbone=args.backbone, compute_dtype=dtype,
                           input_res=args.input_res, code_bits=args.code_bits),
-        solver=SolverConfig(ims_per_batch=args.batch_size, max_iter=args.steps,
+        solver=SolverConfig(ims_per_batch=args.batch_size,
+                            max_iter=args.schedule_steps or args.steps,
                             base_lr=args.lr, seed=args.seed),
         kd=KDConfig(weight=args.kd_weight),
     )
